@@ -1,0 +1,91 @@
+"""Headline benchmark: batched dog-leg solves/s on one TPU chip.
+
+BASELINE.md config 3: many independent small trust-region problems (the
+reference sample.c problem: 6 states, 100 measurements, distinct noise per
+instance) vmapped into one program per chip. The baseline target is 1e4
+batched solves/s (BASELINE.json north star, stated for a v5p-8 host); this
+runs on however many chips are visible (typically one) and reports
+vs_baseline against the 1e4 target.
+
+Prints exactly one JSON line:
+  {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/1e4}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import libdogleg_tpu.sample_problem as sp
+from libdogleg_tpu import DoglegParameters
+from libdogleg_tpu.solver import Products, solve_products
+
+BATCH = 8192
+REPS = 3
+BASELINE_SOLVES_PER_S = 1.0e4
+
+
+def main():
+    dtype = jnp.float32  # TPU-native precision; f64 is CPU-parity mode
+    gx, gy = sp.make_grid(dtype)
+
+    # f32-appropriate thresholds (the reference's 1e-8 C-double thresholds
+    # sit below f32 resolution for this problem's gradient scale).
+    prm = DoglegParameters(max_iterations=10,
+                           Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+
+    def products(p, meas):
+        x = sp.model(p, gx, gy) - meas
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x,
+                        Jt_x=jnp.matmul(J.T, x, preferred_element_type=dtype),
+                        JtJ=jnp.matmul(J.T, J, preferred_element_type=dtype))
+
+    def solve_one(p0, meas):
+        r = solve_products(lambda p: products(p, meas), p0, prm)
+        return r.p, r.step_count, r.reason
+
+    solve_batch = jax.jit(jax.vmap(solve_one))
+
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    meas_batch = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), BATCH))
+
+    # Warmup / compile + correctness gate.
+    p_sol, steps, reason = jax.block_until_ready(solve_batch(p0s, meas_batch))
+    err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
+    frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
+    if frac_ok < 0.99:
+        print(json.dumps({"metric": "batched_dogleg_solves_per_s",
+                          "value": 0.0, "unit": "solves/s",
+                          "vs_baseline": 0.0,
+                          "error": f"correctness gate failed: {frac_ok:.3f}"}))
+        sys.exit(1)
+
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = solve_batch(p0s, meas_batch)
+    jax.block_until_ready(out)
+    dt = time.perf_counter() - t0
+
+    solves_per_s = BATCH * REPS / dt
+    print(json.dumps({
+        "metric": "batched_dogleg_solves_per_s",
+        "value": round(solves_per_s, 2),
+        "unit": "solves/s",
+        "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
+    }))
+    print(f"# devices={jax.device_count()} backend={jax.default_backend()} "
+          f"batch={BATCH} reps={REPS} dt={dt:.3f}s "
+          f"mean_steps={float(np.mean(np.asarray(steps))):.2f} "
+          f"recovered={frac_ok:.4f}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,14 @@
+from libdogleg_tpu.parallel.mesh import make_mesh
+from libdogleg_tpu.parallel.sharded import (
+    MeasurementShardedProblem,
+    measurement_sharded_products,
+)
+from libdogleg_tpu.parallel.batched import batched_optimize, shard_batch
+
+__all__ = [
+    "make_mesh",
+    "MeasurementShardedProblem",
+    "measurement_sharded_products",
+    "batched_optimize",
+    "shard_batch",
+]

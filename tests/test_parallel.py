@@ -1,0 +1,132 @@
+"""Distributed-layer tests on a fake 8-device CPU mesh (conftest sets
+xla_force_host_platform_device_count=8) — the TPU-less multi-chip test mode
+(SURVEY.md section 4)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import libdogleg_tpu.sample_problem as sp
+from libdogleg_tpu import DoglegParameters, StopReason, optimize, solve_products
+from libdogleg_tpu.parallel import (MeasurementShardedProblem,
+                                    batched_optimize, make_mesh, shard_batch)
+
+
+@pytest.fixture(scope="module")
+def measurements():
+    return sp.simulate(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def p0():
+    return sp.initial_state(jax.random.PRNGKey(1))
+
+
+def test_mesh_has_8_devices():
+    assert len(jax.devices()) == 8
+
+
+def _sharded_problem(measurements, mesh):
+    gx, gy = sp.make_grid(measurements.dtype)
+
+    def f_shard(p, data):
+        gx_s, gy_s, m_s, w_s = data
+        x = (sp.model(p, gx_s, gy_s) - m_s) * w_s
+        return x, sp.jacobian(p, gx_s, gy_s) * w_s[:, None]
+
+    # 100 measurements don't divide by 8; pad with zero-weight rows — a
+    # zeroed residual and Jacobian row contributes nothing to any product.
+    pad = (-len(measurements)) % 8
+    z = jnp.zeros((pad,), measurements.dtype)
+    w = jnp.concatenate([jnp.ones_like(measurements), z])
+    data = (jnp.concatenate([gx, z]), jnp.concatenate([gy, z]),
+            jnp.concatenate([measurements, z]), w)
+    return MeasurementShardedProblem(f=f_shard, data=data, mesh=mesh,
+                                     axis_name="meas")
+
+
+def test_measurement_sharded_products_match_dense(measurements, p0):
+    mesh = make_mesh(("meas",))
+    problem = _sharded_problem(measurements, mesh)
+    ref = sp.make_dense_problem(measurements).products(p0)
+    got = problem.products(p0)
+    np.testing.assert_allclose(got.norm2_x, ref.norm2_x, rtol=1e-12)
+    np.testing.assert_allclose(got.Jt_x, ref.Jt_x, rtol=1e-12)
+    np.testing.assert_allclose(got.JtJ, ref.JtJ, rtol=1e-12)
+
+
+def test_measurement_sharded_solve(measurements, p0):
+    """The full solve jits over the mesh: row-block-partitioned Jacobian,
+    psum of JtJ/Jtx/norm2x, replicated Nstate-sized iteration."""
+    mesh = make_mesh(("meas",))
+    problem = _sharded_problem(measurements, mesh)
+    prm = DoglegParameters(max_iterations=8)
+    r = jax.jit(lambda q: optimize(problem, q, prm))(p0)
+    assert int(r.step_count) <= 8
+    np.testing.assert_allclose(np.asarray(r.p), sp.P_TRUE, atol=5e-2)
+    # exact agreement with the single-device dense solve
+    r_dense = optimize(sp.make_dense_problem(measurements), p0, prm)
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(r_dense.p),
+                               rtol=1e-9)
+    assert int(r.step_count) == int(r_dense.step_count)
+
+
+def test_batched_optimize_sharded(measurements):
+    """Config-3 shape (BASELINE.md): many independent problems, batch axis
+    sharded over the mesh."""
+    mesh = make_mesh(("dp",))
+    problem = sp.make_dense_problem(measurements)
+    keys = jax.random.split(jax.random.PRNGKey(3), 32)
+    p0s = shard_batch(jax.vmap(sp.initial_state)(keys), mesh)
+
+    r = batched_optimize(problem.products, p0s, mesh=mesh)
+    assert r.p.shape == (32, sp.NSTATE)
+    assert np.all(np.abs(np.asarray(r.p) - sp.P_TRUE) < 5e-2)
+    # results carry the batch sharding
+    assert r.p.sharding.spec == jax.sharding.PartitionSpec("dp")
+
+
+def test_batched_optimize_per_element_data(measurements):
+    """Distinct problem instances per batch element (different measurement
+    noise), still one program."""
+    mesh = make_mesh(("dp",))
+    gx, gy = sp.make_grid(measurements.dtype)
+    keys = jax.random.split(jax.random.PRNGKey(4), 16)
+    meas_batch = jax.vmap(lambda k: sp.simulate(k))(keys)
+    p0s = jax.vmap(sp.initial_state)(jax.random.split(jax.random.PRNGKey(5), 16))
+
+    def products(p, meas):
+        x = sp.model(p, gx, gy) - meas
+        J = sp.jacobian(p, gx, gy)
+        from libdogleg_tpu.solver import Products
+        return Products(norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    r = batched_optimize(products, shard_batch(p0s, mesh), mesh=mesh,
+                         problem_data=shard_batch(meas_batch, mesh))
+    # Noise realizations differ per element; 5e-2 is sample.c's criterion for
+    # its one canonical seed — use a statistically safe bound here.
+    assert np.all(np.abs(np.asarray(r.p) - sp.P_TRUE) < 0.2)
+
+
+def test_two_axis_mesh_dp_by_meas(measurements):
+    """2-D mesh: batch of solves on the dp axis, each with its measurement
+    rows sharded over the mp axis — DP x TP composed in one program."""
+    mesh = make_mesh(("dp", "meas"), shape=(4, 2))
+    gx, gy = sp.make_grid(measurements.dtype)
+    pad = (-sp.NMEAS) % 2
+    assert pad == 0
+
+    def f_shard(p, data):
+        gx_s, gy_s, m_s = data
+        return sp.model(p, gx_s, gy_s) - m_s, sp.jacobian(p, gx_s, gy_s)
+
+    problem = MeasurementShardedProblem(
+        f=f_shard, data=(gx, gy, measurements), mesh=mesh, axis_name="meas")
+
+    keys = jax.random.split(jax.random.PRNGKey(6), 8)
+    p0s = jax.vmap(sp.initial_state)(keys)
+
+    # vmap over starts; shard_map inside handles the meas axis.
+    r = jax.jit(jax.vmap(lambda q: optimize(problem, q)))(p0s)
+    assert np.all(np.abs(np.asarray(r.p) - sp.P_TRUE) < 5e-2)
