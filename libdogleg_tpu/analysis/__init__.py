@@ -1,0 +1,19 @@
+from libdogleg_tpu.analysis.gradients import (check_gradients,
+                                              check_gradients_autodiff,
+                                              format_gradient_table)
+from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
+                                                get_outlierness_scale,
+                                                mark_outliers,
+                                                outlierness_trace_new_feature,
+                                                report_outliers)
+
+__all__ = [
+    "check_gradients",
+    "check_gradients_autodiff",
+    "format_gradient_table",
+    "get_outlierness_factors",
+    "get_outlierness_scale",
+    "mark_outliers",
+    "outlierness_trace_new_feature",
+    "report_outliers",
+]

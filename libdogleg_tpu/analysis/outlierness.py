@@ -1,0 +1,208 @@
+"""Outlierness factors, outlier marking, and query-point confidence.
+
+The reference's experimental analysis suite (reference dogleg.c:1826-3149):
+Cook's-D-family leverage factors computed from the factorized JtJ. The full
+derivation lives in the reference's long comment (dogleg.c:1924-2291); the
+computational core is
+
+    A = J* inv(JtJ) J*^T      (per feature: a featureSize x featureSize block)
+    B = inv(A - I)
+    factor = k * x*^T (B + B^2) x*        (Cook's self+others, featureSize 2)
+    factor = k * x*^2 / (1 - A)           (featureSize 1 path, dogleg.c:2319-2330)
+
+with the normalization scale k chosen so the outlier threshold is 1
+(dogleg.c:2281-2289) — including the reference's acknowledged ad-hoc k/8 hack
+(dogleg.c:2374-2378), preserved verbatim for behavioral parity.
+
+TPU-native differences: the reference computes pinv(J) rows in chunks of 4
+through CHOLMOD (dogleg.c:2427-2431); here all measurements are solved at
+once as one batched triangular solve, and the per-feature blocks are a single
+batched einsum. featureSize is unrestricted (the reference supports only 1
+and 2, dogleg.c:2367-2371; >2 here uses the same Cook's self+others form with
+a batched dense inverse).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from libdogleg_tpu.ops.cholesky import cholesky_solve
+
+# The reference marks an outlier only if removing it costs < 5% confidence
+# (dogleg.c:3015).
+OUTLIER_CONFIDENCE_DROP_THRESHOLD = 0.05
+
+
+def get_outlierness_scale(norm2_x,
+                          nmeasurements: int,
+                          nstate: int,
+                          n_outlier_features: int = 0,
+                          feature_size: int = 1):
+    """Normalization scale so the outlierness threshold is 1.0
+    (reference getOutliernessScale, dogleg.c:2381-2399):
+      scale = Nnon / (4 (Nstate+1) norm2_x / (Nnon - Nstate - 1))
+    with Nnon = measurements not already marked as outliers."""
+    n_non = nmeasurements - n_outlier_features * feature_size
+    return n_non / (4.0 * ((nstate + 1) * norm2_x / (n_non - nstate - 1)))
+
+
+def _feature_blocks(x: jnp.ndarray, J: jnp.ndarray, L: jnp.ndarray,
+                    feature_size: int):
+    """A_f = J_f inv(JtJ) J_f^T for every consecutive feature group, plus the
+    grouped residuals. One batched solve + one batched einsum replaces the
+    reference's chunks-of-4 pseudoinverse loop (dogleg.c:2427-2495)."""
+    nmeas, nstate = J.shape
+    nf = nmeas // feature_size
+    W = cholesky_solve(L, J.T)                    # (nstate, nmeas)
+    Jr = J.reshape(nf, feature_size, nstate)
+    Wr = W.reshape(nstate, nf, feature_size)
+    A = jnp.einsum('fim,mfj->fij', Jr, Wr,
+                   preferred_element_type=J.dtype)  # (nf, fs, fs)
+    xr = x.reshape(nf, feature_size)
+    return A, xr
+
+
+def get_outlierness_factors(x: jnp.ndarray,
+                            J: jnp.ndarray,
+                            L: jnp.ndarray,
+                            *,
+                            feature_size: int = 1,
+                            n_outlier_features: int = 0,
+                            scale=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Outlierness factor per feature (reference dogleg_getOutliernessFactors,
+    dogleg.c:2621-2667). Factors > 1.0 are outlier candidates.
+
+    Args:
+      x: (nmeas,) residuals at the operating point.
+      J: (nmeas, nstate) dense Jacobian (densify BCSR via bcsr_to_dense).
+      L: lower Cholesky factor of JtJ (+ permanent lambda), e.g. from
+         factorize_jtj(result.JtJ, result.lam).
+      feature_size: measurements per feature (any size; reference: 1 or 2).
+      n_outlier_features: already-marked outliers, excluded from the scale.
+      scale: reuse a previously computed scale if not None (the reference's
+        scale<0-means-recompute convention, dogleg.h:337).
+
+    Returns (factors (nfeatures,), scale).
+    """
+    nmeas, nstate = J.shape
+    big = jnp.finfo(J.dtype).max  # the reference's DBL_MAX sentinel
+    if scale is None:
+        scale = get_outlierness_scale(jnp.dot(x, x), nmeas, nstate,
+                                      n_outlier_features, feature_size)
+    A, xr = _feature_blocks(x, J, L, feature_size)
+
+    if feature_size == 1:
+        # x^2 / (1 - A), guarded like the reference (dogleg.c:2319-2330).
+        denom = 1.0 - A[:, 0, 0]
+        factor = jnp.where(jnp.abs(denom) < 1e-8, big,
+                           xr[:, 0] * xr[:, 0] / denom)
+    elif feature_size == 2:
+        # Cook's self+others via the closed 2x2 form (dogleg.c:2332-2365).
+        a00, a01, a11 = A[:, 0, 0], A[:, 0, 1], A[:, 1, 1]
+        det = (1.0 - a00) * (1.0 - a11) - a01 * a01
+        b00 = a11 - 1.0
+        b11 = a00 - 1.0
+        b01 = -a01
+        x0, x1 = xr[:, 0], xr[:, 1]
+        xBx = (x0 * x0 * b00 + 2.0 * x0 * x1 * b01 + x1 * x1 * b11) / det
+        v1 = x0 * b00 + x1 * b01
+        v2 = x0 * b01 + x1 * b11
+        xBBx = (v1 * v1 + v2 * v2) / (det * det)
+        factor = jnp.where(jnp.abs(det) < 1e-8, big, xBx + xBBx)
+    else:
+        # General featureSize (beyond the reference): same Cook's
+        # self+others, batched dense inverse of (A - I).
+        eye = jnp.eye(feature_size, dtype=J.dtype)
+        B = jnp.linalg.inv(A - eye)
+        Bx = jnp.einsum('fij,fj->fi', B, xr)
+        factor = jnp.einsum('fi,fi->f', xr, Bx) + jnp.einsum(
+            'fi,fi->f', Bx, Bx)
+
+    # The reference's acknowledged hack: "the threshold should be 1.0, and
+    # the scaling should make sure that is the case" (dogleg.c:2374-2378).
+    k = scale / 8.0
+    return factor * k, scale
+
+
+class MarkResult(NamedTuple):
+    marked: np.ndarray        # (nfeatures,) bool, updated in place semantics
+    n_outliers: int
+    marked_any: bool
+
+
+def mark_outliers(factors,
+                  get_confidence: Callable[[int], float],
+                  marked: Optional[np.ndarray] = None) -> MarkResult:
+    """Accept factor>1 candidates as outliers iff removing them drops the
+    user-supplied confidence by less than 5% (reference dogleg_markOutliers,
+    dogleg.c:3016-3100). get_confidence(i) returns the solution confidence
+    with feature i excluded; get_confidence(-1) is the baseline. This stays
+    host-side Python: the callback typically re-solves the problem."""
+    factors = np.asarray(factors)
+    marked = (np.zeros(factors.shape[0], bool) if marked is None
+              else np.asarray(marked).copy())
+    confidence0 = float(get_confidence(-1))
+    if confidence0 < 0.0:
+        return MarkResult(marked, int(marked.sum()), False)
+
+    marked_any = False
+    n_outliers = 0
+    for i in range(factors.shape[0]):
+        if marked[i]:
+            n_outliers += 1
+            continue
+        if factors[i] < 1.0:
+            continue
+        confidence_excluded = float(get_confidence(i))
+        if confidence_excluded < 0.0:
+            return MarkResult(marked, n_outliers, marked_any)
+        drop = 1.0 - confidence_excluded / confidence0
+        if drop < OUTLIER_CONFIDENCE_DROP_THRESHOLD:
+            marked[i] = True
+            marked_any = True
+            n_outliers += 1
+    return MarkResult(marked, n_outliers, marked_any)
+
+
+def report_outliers(factors, get_confidence) -> str:
+    """Debug report of every feature's factor and the relative confidence
+    drop were it removed (reference dogleg_reportOutliers,
+    dogleg.c:3106-3149). Slow by design — calls get_confidence per feature."""
+    factors = np.asarray(factors)
+    lines = ["## Outlier statistics",
+             "# i_feature outlier_factor confidence_drop_relative_if_removed"]
+    confidence_full = float(get_confidence(-1))
+    for i in range(factors.shape[0]):
+        drop = 1.0 - float(get_confidence(i)) / confidence_full
+        lines.append(f"{i:5d} {factors[i]:9.3g} {drop:9.3g}")
+    return "\n".join(lines) + "\n"
+
+
+def outlierness_trace_new_feature(Jq: jnp.ndarray,
+                                  L: jnp.ndarray,
+                                  norm2_x,
+                                  nmeasurements: int,
+                                  *,
+                                  n_outlier_features: int = 0):
+    """Expected outlierness of a hypothetical new feature — the query-point
+    confidence metric (reference
+    dogleg_getOutliernessTrace_newFeature_sparse, dogleg.c:2793-3012).
+
+    Given the would-be feature Jacobian Jq (feature_size, nstate) (zero
+    columns where the reference's istateActive/NstateActive window would not
+    reach), computes A = Jq inv(JtJ) Jq^T, B = inv(A + I), and returns
+    scale * (feature_size - trace(B)) — the reference's Cook's self+others
+    form scale*(2 - traceB) (dogleg.c:3005-3006) generalized to any
+    feature_size (the reference asserts feature_size == 2, dogleg.c:2873).
+    """
+    feature_size, nstate = Jq.shape
+    W = cholesky_solve(L, Jq.T)                      # (nstate, fs)
+    A = jnp.matmul(Jq, W, preferred_element_type=Jq.dtype)
+    B = jnp.linalg.inv(A + jnp.eye(feature_size, dtype=Jq.dtype))
+    traceB = jnp.trace(B)
+    scale = get_outlierness_scale(norm2_x, nmeasurements, nstate,
+                                  n_outlier_features, feature_size)
+    return scale * (feature_size - traceB)

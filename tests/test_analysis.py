@@ -1,0 +1,240 @@
+"""Tests for the diagnostics, gradient-check, and outlierness suites against
+numpy oracles (the oracle formulas are the ones in the reference's own
+disabled self-check scripts, dogleg.c:2748-2783)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import libdogleg_tpu.sample_problem as sp
+from libdogleg_tpu import DoglegParameters, optimize
+from libdogleg_tpu.analysis import (check_gradients, check_gradients_autodiff,
+                                    format_gradient_table,
+                                    get_outlierness_factors,
+                                    get_outlierness_scale, mark_outliers,
+                                    outlierness_trace_new_feature,
+                                    report_outliers)
+from libdogleg_tpu.analysis.gradients import check_gradients_products
+from libdogleg_tpu.diagnostics import (explain_result, format_vnlog,
+                                       print_vnlog, vnlog_legend)
+from libdogleg_tpu.ops.cholesky import factorize_jtj
+
+
+@pytest.fixture(scope="module")
+def measurements():
+    return sp.simulate(jax.random.PRNGKey(0))
+
+
+@pytest.fixture(scope="module")
+def p0():
+    return sp.initial_state(jax.random.PRNGKey(1))
+
+
+# ---------------------------------------------------------------- vnlog
+
+def test_vnlog_schema_and_rows(measurements, p0):
+    problem = sp.make_dense_problem(measurements)
+    r = optimize(problem, p0, DoglegParameters(), record_history=True)
+    text = format_vnlog(r.history, r.n_attempts)
+    lines = text.strip().split("\n")
+    # legend matches the reference field list (dogleg.c:50-64, 80)
+    assert lines[0] == vnlog_legend()
+    assert "norm2x_before" in lines[0] and "trustregion_after" in lines[0]
+    assert len(lines) - 1 == int(r.n_attempts)
+    # every row has iteration, accepted flag and 14 fields
+    for row in lines[1:]:
+        cells = row.split()
+        assert len(cells) == 16
+        assert cells[1] in ("0", "1")
+        assert cells[9] in ("cauchy", "gaussnewton", "interpolated", "-")
+    # accepted steps count matches
+    accepted = sum(int(row.split()[1]) for row in lines[1:])
+    assert accepted == int(r.step_count)
+    assert "accepted steps" in explain_result(r)
+
+
+def test_vnlog_rho_consistency(measurements, p0):
+    """Recorded rho must equal observed/expected from the same row."""
+    problem = sp.make_dense_problem(measurements)
+    r = optimize(problem, p0, DoglegParameters(), record_history=True)
+    h = r.history
+    n = int(r.n_attempts)
+    rho = np.asarray(h.rho[:n])
+    obs = np.asarray(h.observed_improvement[:n])
+    exp = np.asarray(h.expected_improvement[:n])
+    m = np.isfinite(rho)
+    np.testing.assert_allclose(rho[m], obs[m] / exp[m], rtol=1e-12)
+
+
+def test_print_vnlog_requires_history(measurements, p0):
+    r = optimize(sp.make_dense_problem(measurements), p0)
+    with pytest.raises(ValueError):
+        print_vnlog(r)
+
+
+# ---------------------------------------------------------------- gradients
+
+@pytest.mark.parametrize("mode", ["dense", "sparse"])
+def test_gradient_check_correct_jacobian(measurements, p0, mode):
+    make = (sp.make_dense_problem if mode == "dense"
+            else sp.make_sparse_problem)
+    problem = make(measurements)
+    for ivar in range(sp.NSTATE):
+        chk = check_gradients(problem, p0, ivar)
+        # the hand-written Jacobian is exact; only finite-difference error
+        assert float(jnp.max(chk.error_relative)) < 1e-5
+    table = format_gradient_table(chk)
+    assert table.startswith("# ivar imeasurement gradient_reported")
+    assert len(table.strip().split("\n")) == sp.NMEAS + 1
+
+
+def test_gradient_check_detects_broken_jacobian(measurements, p0):
+    base = sp.make_dense_problem(measurements)
+
+    from libdogleg_tpu.problems import DenseProblem
+
+    def broken(p):
+        x, J = base.f(p)
+        return x, J.at[:, 2].mul(1.5)  # corrupt one column
+
+    chk_ok = check_gradients(DenseProblem(f=broken), p0, 0)
+    chk_bad = check_gradients(DenseProblem(f=broken), p0, 2)
+    assert float(jnp.max(chk_ok.error_relative)) < 1e-5
+    assert float(jnp.max(chk_bad.error_relative)) > 0.1
+
+
+def test_gradient_check_autodiff(measurements, p0):
+    problem = sp.make_dense_problem(measurements)
+    rel = check_gradients_autodiff(problem, p0)
+    assert float(jnp.max(rel)) < 1e-12  # exact Jacobian, exact autodiff
+
+
+def test_gradient_check_products_mode(measurements, p0):
+    """The reference never implemented this (dogleg.c:440-446)."""
+    problem = sp.make_products_problem(measurements)
+    for ivar in range(sp.NSTATE):
+        _, _, _, rel = check_gradients_products(problem, p0, ivar)
+        assert float(rel) < 1e-5
+
+
+# ---------------------------------------------------------------- outlierness
+
+def _solved_point(measurements, p0):
+    problem = sp.make_dense_problem(measurements)
+    r = optimize(problem, p0)
+    x, J = problem.full(r.p)
+    fac = factorize_jtj(r.JtJ, r.lam)
+    return r, np.asarray(x), np.asarray(J), fac
+
+
+def _oracle_factors(x, J, feature_size):
+    """The reference's own numpy self-check (dogleg.c:2748-2783), with the
+    k/8 hack of dogleg.c:2374-2378 applied as the code does."""
+    nmeas, nstate = J.shape
+    nf = nmeas // feature_size
+    scale = nmeas / (4.0 * ((nstate + 1) * (x @ x) / (nmeas - nstate - 1)))
+    inv_jtj = np.linalg.inv(J.T @ J)
+    factors = np.zeros(nf)
+    for f in range(nf):
+        sl = slice(f * feature_size, (f + 1) * feature_size)
+        Jf = J[sl]
+        xf = x[sl]
+        A = Jf @ inv_jtj @ Jf.T
+        if feature_size == 1:
+            factors[f] = float(xf[0] ** 2 / (1.0 - A[0, 0]))
+        else:
+            B = np.linalg.inv(A - np.eye(feature_size))
+            factors[f] = float(xf @ (B + B @ B) @ xf)
+    return factors * scale / 8.0, scale
+
+
+@pytest.mark.parametrize("feature_size", [1, 2, 4])
+def test_outlierness_factors_match_oracle(measurements, p0, feature_size):
+    _, x, J, fac = _solved_point(measurements, p0)
+    factors, scale = get_outlierness_factors(
+        x, jnp.asarray(J), fac.L, feature_size=feature_size)
+    oracle, oracle_scale = _oracle_factors(x, J, feature_size)
+    np.testing.assert_allclose(scale, oracle_scale, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(factors), oracle, rtol=1e-8)
+
+
+def test_outlierness_flags_planted_outlier(measurements, p0):
+    """Corrupt one measurement hard; it must get the largest factor."""
+    bad = measurements.at[37].add(50.0)
+    problem = sp.make_dense_problem(bad)
+    r = optimize(problem, p0)
+    x, J = problem.full(r.p)
+    fac = factorize_jtj(r.JtJ, r.lam)
+    factors, _ = get_outlierness_factors(x, jnp.asarray(np.asarray(J)),
+                                         fac.L, feature_size=1)
+    f = np.asarray(factors)
+    assert int(np.argmax(f)) == 37
+    assert f[37] > 1.0
+
+
+def test_scale_reuse_convention(measurements, p0):
+    _, x, J, fac = _solved_point(measurements, p0)
+    factors1, scale = get_outlierness_factors(x, jnp.asarray(J), fac.L)
+    factors2, scale2 = get_outlierness_factors(x, jnp.asarray(J), fac.L,
+                                               scale=scale)
+    np.testing.assert_allclose(scale2, scale)
+    np.testing.assert_allclose(np.asarray(factors2), np.asarray(factors1))
+
+
+def test_mark_outliers_confidence_gate(measurements, p0):
+    bad = measurements.at[37].add(50.0)
+    problem = sp.make_dense_problem(bad)
+    r = optimize(problem, p0)
+    x, J = problem.full(r.p)
+    fac = factorize_jtj(r.JtJ, r.lam)
+    factors, _ = get_outlierness_factors(x, jnp.asarray(np.asarray(J)),
+                                         fac.L, feature_size=1)
+
+    # Confidence callback: removing any single measurement barely moves
+    # confidence -> candidates accepted.
+    res = mark_outliers(factors, lambda i: 100.0 if i < 0 else 99.9)
+    assert res.marked[37]
+    assert res.marked_any and res.n_outliers >= 1
+
+    # Confidence collapses when anything is removed -> nothing marked.
+    res2 = mark_outliers(factors, lambda i: 100.0 if i < 0 else 10.0)
+    assert not res2.marked_any
+
+    # Already-marked features are kept and counted (reference
+    # dogleg.c:3065-3069).
+    pre = np.zeros(len(np.asarray(factors)), bool)
+    pre[5] = True
+    res3 = mark_outliers(factors, lambda i: 100.0 if i < 0 else 99.9,
+                         marked=pre)
+    assert res3.marked[5] and res3.n_outliers >= 2
+
+
+def test_report_outliers_format(measurements, p0):
+    _, x, J, fac = _solved_point(measurements, p0)
+    factors, _ = get_outlierness_factors(x, jnp.asarray(J), fac.L)
+    text = report_outliers(factors[:5], lambda i: 100.0 if i < 0 else 99.0)
+    assert text.startswith("## Outlier statistics")
+    assert len(text.strip().split("\n")) == 2 + 5
+
+
+def test_query_trace_matches_oracle(measurements, p0):
+    """trace form vs direct numpy: A = Jq inv(JtJ) Jq^T, B = inv(A+I),
+    result = scale (2 - tr B) for feature_size 2 (dogleg.c:2824-3006)."""
+    r, x, J, fac = _solved_point(measurements, p0)
+    rng = np.random.default_rng(0)
+    Jq = rng.normal(size=(2, sp.NSTATE))
+    got = outlierness_trace_new_feature(jnp.asarray(Jq), fac.L,
+                                        r.norm2_x, sp.NMEAS)
+    inv_jtj = np.linalg.inv(J.T @ J + float(r.lam) * np.eye(sp.NSTATE))
+    A = Jq @ inv_jtj @ Jq.T
+    B = np.linalg.inv(A + np.eye(2))
+    scale = get_outlierness_scale(float(r.norm2_x), sp.NMEAS, sp.NSTATE,
+                                  0, 2)
+    np.testing.assert_allclose(float(got), float(scale) * (2 - np.trace(B)),
+                               rtol=1e-9)
+    # confidence is higher (more outliery-looking) where data is dense:
+    # a query Jacobian of zeros has A=0, B=I, trace=fs -> trace result 0.
+    zero = outlierness_trace_new_feature(jnp.zeros((2, sp.NSTATE)), fac.L,
+                                         r.norm2_x, sp.NMEAS)
+    np.testing.assert_allclose(float(zero), 0.0, atol=1e-12)
