@@ -1,0 +1,172 @@
+"""Newton-system strategies: how the solver factors and solves JtJ.
+
+The reference hardwires two backends — CHOLMOD sparse Cholesky and LAPACK
+packed dense Cholesky — selected by solve_type (reference dogleg.c:634-908).
+Here the Gauss-Newton system is a *strategy object*: the trust-region driver
+only ever needs two operations on whatever representation Products.JtJ
+carries,
+
+    quad_form(JtJ, v)                    == norm2(J v)
+    gauss_newton(JtJ, Jt_x, lam, ...)    == solve (JtJ + lam I) u = Jt_x; -u
+
+so structured representations (Schur-complement BA systems, block-sparse
+factors) plug in without touching the driver. All strategies preserve the
+reference's permanent escalating-lambda semantics (dogleg.c:137-138,
+670-676).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from libdogleg_tpu.ops import cholesky as chol
+
+
+class GNResult(NamedTuple):
+    step: jnp.ndarray     # (Nstate,) the negated Newton solution
+    norm2_step: jnp.ndarray
+    lam: jnp.ndarray      # possibly escalated permanent lambda
+    ok: jnp.ndarray       # factorization succeeded
+
+
+@dataclasses.dataclass(frozen=True)
+class DenseNewtonSolver:
+    """Default: JtJ is a dense (Nstate, Nstate) symmetric matrix
+    (the reference's LAPACK path, generalized to the sparse path too since
+    the BCSR adapter materializes dense JtJ for moderate Nstate)."""
+
+    def quad_form(self, JtJ, v):
+        return jnp.dot(v, jnp.matmul(JtJ, v,
+                                     preferred_element_type=JtJ.dtype))
+
+    def gauss_newton(self, JtJ, Jt_x, lam, *, lambda_initial,
+                     lambda_max_tries) -> GNResult:
+        fac = chol.factorize_jtj(JtJ, lam, lambda_initial=lambda_initial,
+                                 lambda_max_tries=lambda_max_tries)
+        step, n2 = chol.gauss_newton_step(fac.L, Jt_x)
+        return GNResult(step=step, norm2_step=n2, lam=fac.lam, ok=fac.ok)
+
+
+class SchurJtJ(NamedTuple):
+    """BA-style arrow-structured Gauss-Newton system.
+
+    State layout: p = [dense block (nc params) | np point blocks of size bs],
+    Nstate = nc + np*bs. JtJ = [[U, W], [W^T, V]] with V block-diagonal —
+    the classic bundle-adjustment structure (SURVEY.md section 5.7;
+    BASELINE.md config 4). No reference equivalent: libdogleg hands such
+    systems whole to CHOLMOD.
+    """
+    U: jnp.ndarray         # (nc, nc) dense camera/global block
+    W: jnp.ndarray         # (nc, np, bs) coupling blocks
+    V: jnp.ndarray         # (np, bs, bs) point diagonal blocks
+
+
+def schur_split(v: jnp.ndarray, nc: int, n_points: int, bs: int):
+    return v[:nc], v[nc:].reshape(n_points, bs)
+
+
+@dataclasses.dataclass(frozen=True)
+class SchurNewtonSolver:
+    """Gauss-Newton via Schur-complement elimination of the point blocks.
+
+    factorize: Vhat_i = V_i + lam I (vmapped small Cholesky, MXU/VPU
+    friendly); S = U + lam I - sum_i W_i Vhat_i^{-1} W_i^T (one batched
+    einsum); dense Cholesky of S.
+    solve:     y_i = Vhat_i^{-1} rp_i; dc = S^{-1}(rc - sum_i W_i y_i);
+               dp_i = Vhat_i^{-1}(rp_i - W_i^T dc).
+
+    This keeps only nc^2 + np*bs^2 state resident instead of Nstate^2 and
+    turns the factorization into batched small blocks + one small dense
+    factor — the TPU shape for BA problems.
+    """
+    nc: int
+    n_points: int
+    block_size: int
+
+    def quad_form(self, JtJ: SchurJtJ, v):
+        vc, vp = schur_split(v, self.nc, self.n_points, self.block_size)
+        uv = jnp.dot(vc, jnp.matmul(JtJ.U, vc,
+                                    preferred_element_type=vc.dtype))
+        wv = jnp.einsum('cpb,pb->c', JtJ.W, vp,
+                        preferred_element_type=vc.dtype)
+        vv = jnp.einsum('pb,pbk,pk->', vp, JtJ.V, vp,
+                        preferred_element_type=vc.dtype)
+        return uv + 2.0 * jnp.dot(vc, wv) + vv
+
+    def _try_factor(self, JtJ: SchurJtJ, lam):
+        bs = self.block_size
+        eye_b = jnp.eye(bs, dtype=JtJ.V.dtype)
+        Vhat = JtJ.V + lam * eye_b
+        Lv = jnp.linalg.cholesky(Vhat)                  # (np, bs, bs)
+        ok_v = jnp.all(jnp.isfinite(Lv)) & jnp.all(
+            jnp.diagonal(Lv, axis1=-2, axis2=-1) > 0)
+        # Vhat^{-1} W^T via batched triangular solves: solve per point block.
+        Wt = jnp.transpose(JtJ.W, (1, 2, 0))            # (np, bs, nc)
+        Y = jax.lax.linalg.triangular_solve(Lv, Wt, left_side=True,
+                                            lower=True)
+        Y = jax.lax.linalg.triangular_solve(Lv, Y, left_side=True,
+                                            lower=True, transpose_a=True)
+        # S = U + lam I - sum_p W_p Vhat_p^{-1} W_p^T
+        S = (JtJ.U + lam * jnp.eye(self.nc, dtype=JtJ.U.dtype)
+             - jnp.einsum('cpb,pbd->cd', JtJ.W, Y,
+                          preferred_element_type=JtJ.U.dtype))
+        Ls = jnp.linalg.cholesky(S)
+        ok_s = jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.diag(Ls) > 0)
+        return (Lv, Ls), ok_v & ok_s
+
+    def gauss_newton(self, JtJ: SchurJtJ, Jt_x, lam, *, lambda_initial,
+                     lambda_max_tries) -> GNResult:
+        lam = jnp.asarray(lam, dtype=Jt_x.dtype)
+        state0, ok0 = self._try_factor(JtJ, lam)
+
+        def body(carry):
+            lam, state, ok, tries = carry
+            lam = jnp.where(lam == 0.0,
+                            jnp.asarray(lambda_initial, Jt_x.dtype),
+                            lam * 10.0)
+            state, ok = self._try_factor(JtJ, lam)
+            return (lam, state, ok, tries + 1)
+
+        lam, (Lv, Ls), ok, _ = jax.lax.while_loop(
+            lambda c: (~c[2]) & (c[3] < lambda_max_tries),
+            body, (lam, state0, ok0, jnp.asarray(0, jnp.int32)))
+
+        rc, rp = schur_split(Jt_x, self.nc, self.n_points, self.block_size)
+
+        def vsolve(b):
+            # (np, bs, k) batched solve with the point-block factors
+            y = jax.lax.linalg.triangular_solve(Lv, b, left_side=True,
+                                                lower=True)
+            return jax.lax.linalg.triangular_solve(Lv, y, left_side=True,
+                                                   lower=True,
+                                                   transpose_a=True)
+
+        y = vsolve(rp[..., None])[..., 0]               # (np, bs)
+        rhs_c = rc - jnp.einsum('cpb,pb->c', JtJ.W, y,
+                                preferred_element_type=rc.dtype)
+        dc = chol.cholesky_solve(Ls, rhs_c)
+        rp2 = rp - jnp.einsum('cpb,c->pb', JtJ.W, dc,
+                              preferred_element_type=rc.dtype)
+        dp = vsolve(rp2[..., None])[..., 0]
+        u = jnp.concatenate([dc, dp.reshape(-1)])
+        step = -u
+        return GNResult(step=step, norm2_step=jnp.dot(step, step),
+                        lam=lam, ok=ok)
+
+
+def schur_to_dense(JtJ: SchurJtJ) -> jnp.ndarray:
+    """Densify the arrow structure (test oracle helper)."""
+    nc = JtJ.U.shape[0]
+    n_points, bs, _ = JtJ.V.shape
+    n = nc + n_points * bs
+    out = jnp.zeros((n, n), JtJ.U.dtype)
+    out = out.at[:nc, :nc].set(JtJ.U)
+    W = JtJ.W.reshape(nc, n_points * bs)
+    out = out.at[:nc, nc:].set(W)
+    out = out.at[nc:, :nc].set(W.T)
+    Vd = jax.scipy.linalg.block_diag(*[JtJ.V[i] for i in range(n_points)])
+    return out.at[nc:, nc:].set(Vd)

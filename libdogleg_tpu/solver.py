@@ -37,14 +37,14 @@ Termination criteria and their exact placement match the reference:
 from __future__ import annotations
 
 import enum
-from typing import Callable, NamedTuple, Optional
+from typing import Any, Callable, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
 
 from libdogleg_tpu.params import DoglegParameters
 from libdogleg_tpu.ops import dense as dops
-from libdogleg_tpu.ops import cholesky as chol
+from libdogleg_tpu.ops.newton import DenseNewtonSolver
 
 
 class Products(NamedTuple):
@@ -57,7 +57,10 @@ class Products(NamedTuple):
     """
     norm2_x: jnp.ndarray  # scalar: norm2(f(p))
     Jt_x: jnp.ndarray     # (Nstate,): J^T x, half the cost gradient
-    JtJ: jnp.ndarray      # (Nstate, Nstate): Gauss-Newton Hessian approx
+    JtJ: Any              # Gauss-Newton Hessian approx: a dense
+    #                       (Nstate, Nstate) matrix by default, or any pytree
+    #                       the chosen NewtonSolver strategy understands
+    #                       (e.g. ops.newton.SchurJtJ)
 
 
 ProductsFn = Callable[[jnp.ndarray], Products]
@@ -180,6 +183,7 @@ def solve_products(products_fn: ProductsFn,
                    p0: jnp.ndarray,
                    parameters: Optional[DoglegParameters] = None,
                    *,
+                   newton_solver=None,
                    record_history: bool = False,
                    history_capacity: Optional[int] = None) -> SolveResult:
     """Run the dog-leg trust-region optimization.
@@ -191,6 +195,9 @@ def solve_products(products_fn: ProductsFn,
         once per accepted point, same as the reference).
       p0: (Nstate,) initial state.
       parameters: solver parameters (defaults match the reference).
+      newton_solver: strategy for quad_form / Gauss-Newton on the JtJ
+        representation (default ops.newton.DenseNewtonSolver; pass
+        SchurNewtonSolver for BA-style arrow systems).
       record_history: keep a per-attempt vnlog-schema History in the result.
       history_capacity: static row count of the history buffer; defaults to
         the attempt cap. Attempts past capacity overwrite the last row.
@@ -198,6 +205,7 @@ def solve_products(products_fn: ProductsFn,
     Returns a SolveResult. Fully jittable and vmappable.
     """
     prm = parameters if parameters is not None else DoglegParameters()
+    ns = newton_solver if newton_solver is not None else DenseNewtonSolver()
     p0 = jnp.asarray(p0)
     dtype = p0.dtype
     n = p0.shape[-1]
@@ -242,8 +250,11 @@ def solve_products(products_fn: ProductsFn,
         # --- Cauchy step, computed once per operating point (reference
         # compute_updateCauchy, dogleg.c:529-617).
         def fresh_cauchy(_):
-            cs = dops.cauchy_step(c.Jt_x, c.JtJ)
-            return cs.step, cs.norm2_step
+            # k = -norm2(Jt x) / norm2(J Jt x) with the denominator as the
+            # JtJ quadratic form (reference dogleg.c:536-610).
+            n2_jtx = jnp.dot(c.Jt_x, c.Jt_x)
+            k = -n2_jtx / ns.quad_form(c.JtJ, c.Jt_x)
+            return k * c.Jt_x, k * k * n2_jtx
         cauchy, norm2_cauchy = jax.lax.cond(
             c.have_cauchy,
             lambda _: (c.cauchy, c.norm2_cauchy),
@@ -259,12 +270,10 @@ def solve_products(products_fn: ProductsFn,
         need_gn = (~use_cauchy) & (~c.have_gn)
 
         def fresh_gn(_):
-            fac = chol.factorize_jtj(
-                c.JtJ, c.lam,
-                lambda_initial=prm.lambda_initial,
-                lambda_max_tries=prm.lambda_max_tries)
-            step, n2 = chol.gauss_newton_step(fac.L, c.Jt_x)
-            return step, n2, fac.lam, fac.ok
+            res = ns.gauss_newton(c.JtJ, c.Jt_x, c.lam,
+                                  lambda_initial=prm.lambda_initial,
+                                  lambda_max_tries=prm.lambda_max_tries)
+            return res.step, res.norm2_step, res.lam, res.ok
 
         gn, norm2_gn, lam, fac_ok = jax.lax.cond(
             need_gn,
@@ -295,7 +304,8 @@ def solve_products(products_fn: ProductsFn,
             jnp.where(use_gn, int(StepType.GAUSSNEWTON),
                       int(StepType.INTERPOLATED))).astype(jnp.int32)
 
-        expected = dops.expected_improvement(c.Jt_x, c.JtJ, step)
+        # Linearized model decrease (reference dogleg.c:1085-1165).
+        expected = -2.0 * jnp.dot(c.Jt_x, step) - ns.quad_form(c.JtJ, step)
 
         # --- Criterion 2 (reference dogleg.c:1287-1296): a tiny step means
         # we are done, *without* evaluating the trial point.
