@@ -106,7 +106,10 @@ def test_rank_deficient_problem_engages_lambda():
     path (reference dogleg.c:137-138, 670-676) and still make progress."""
     rng = np.random.default_rng(12)
     A = jnp.asarray(rng.normal(size=(30, 3)))
-    A = jnp.concatenate([A, A[:, :1]], axis=1)  # 4 cols, rank 3
+    # 4th column exactly zero: JtJ has an exactly-zero pivot, so the
+    # factorization must fail and engage lambda (a duplicated column would
+    # leave the failure to rounding luck, as it does for LAPACK dpptrf).
+    A = jnp.concatenate([A, jnp.zeros((30, 1))], axis=1)
     b = jnp.asarray(rng.normal(size=(30,)))
 
     def products(p):
