@@ -54,6 +54,13 @@ class JtJSchedule(NamedTuple):
 
 
 def build_jtj_schedule(s: BCSRStructure) -> JtJSchedule:
+    # Native (C++) fast path for large patterns; numpy fallback below.
+    from libdogleg_tpu.native.symbolic import jtj_schedule_native
+    nat = jtj_schedule_native(s.indptr, s.indices, s.nbcol)
+    if nat is not None:
+        pi, pj, out_idx, out_ci, out_cj = nat
+        return JtJSchedule(pair_i=pi, pair_j=pj, out_idx=out_idx,
+                           out_ci=out_ci, out_cj=out_cj)
     pi, pj = s.jtj_pairs()
     ci = s.indices[pi]
     cj = s.indices[pj]

@@ -29,6 +29,14 @@ def bcsr_from_scalar_csr(rowptr: np.ndarray,
     block sizes (pad the problem otherwise).
     """
     assert nmeas % block_rows == 0 and nstate % block_cols == 0
+    from libdogleg_tpu.native.symbolic import bcsr_pattern_native
+    nat = bcsr_pattern_native(rowptr, colidx, nmeas, nstate,
+                              block_rows, block_cols)
+    if nat is not None:
+        indptr, indices = nat
+        return BCSRStructure(nmeas=nmeas, nstate=nstate,
+                             block_rows=block_rows, block_cols=block_cols,
+                             indptr=indptr, indices=indices)
     nbrow = nmeas // block_rows
     indptr = np.zeros(nbrow + 1, dtype=np.int32)
     indices_per_row = []
