@@ -23,7 +23,15 @@ from libdogleg_tpu.solver import (
     SolveResult,
     StopReason,
     StepType,
+    init_solver_state,
+    result_from_state,
+    run_solver,
     solve_products,
+)
+from libdogleg_tpu.ops.newton import (
+    DenseNewtonSolver,
+    SchurJtJ,
+    SchurNewtonSolver,
 )
 from libdogleg_tpu.problems import (
     DenseProblem,
@@ -43,6 +51,12 @@ __all__ = [
     "StopReason",
     "StepType",
     "solve_products",
+    "init_solver_state",
+    "run_solver",
+    "result_from_state",
+    "DenseNewtonSolver",
+    "SchurNewtonSolver",
+    "SchurJtJ",
     "DenseProblem",
     "SparseProblem",
     "ProductsProblem",

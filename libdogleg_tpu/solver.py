@@ -204,8 +204,30 @@ def solve_products(products_fn: ProductsFn,
 
     Returns a SolveResult. Fully jittable and vmappable.
     """
+    state = init_solver_state(products_fn, p0, parameters,
+                              record_history=record_history,
+                              history_capacity=history_capacity)
+    final = run_solver(products_fn, state, parameters,
+                       newton_solver=newton_solver)
+    return result_from_state(final)
+
+
+def init_solver_state(products_fn: ProductsFn,
+                      p0: jnp.ndarray,
+                      parameters: Optional[DoglegParameters] = None,
+                      *,
+                      record_history: bool = False,
+                      history_capacity: Optional[int] = None) -> "_Carry":
+    """Evaluate the initial operating point and build the solver-state
+    pytree (the reference's context + beforeStep setup, dogleg.c:1633-1733,
+    including the initial convergence test at dogleg.c:1364-1371).
+
+    The returned state is an ordinary pytree: it can be saved/restored
+    (checkpoint/resume for long batched runs — absent in the reference,
+    SURVEY.md section 5.4), vmapped, and passed to run_solver in bounded
+    slices.
+    """
     prm = parameters if parameters is not None else DoglegParameters()
-    ns = newton_solver if newton_solver is not None else DenseNewtonSolver()
     p0 = jnp.asarray(p0)
     dtype = p0.dtype
     n = p0.shape[-1]
@@ -213,7 +235,6 @@ def solve_products(products_fn: ProductsFn,
 
     init = products_fn(p0)
     zero_vec = jnp.zeros((n,), dtype)
-    f_true = jnp.asarray(True)
     f_false = jnp.asarray(False)
 
     converged0 = _grad_converged(init.Jt_x, prm.Jt_x_threshold)
@@ -240,6 +261,26 @@ def solve_products(products_fn: ProductsFn,
                          jnp.asarray(int(StopReason.RUNNING), jnp.int32)),
         history=history,
     )
+    return carry0
+
+
+def run_solver(products_fn: ProductsFn,
+               state: "_Carry",
+               parameters: Optional[DoglegParameters] = None,
+               *,
+               newton_solver=None,
+               max_new_attempts: Optional[int] = None) -> "_Carry":
+    """Advance the solve until termination (default) or for at most
+    max_new_attempts further step attempts — the segmented form used for
+    checkpointed long runs. Jittable and vmappable; resuming from a saved
+    state continues the iteration exactly (all caches, lambda, and the
+    trust region live in the state)."""
+    prm = parameters if parameters is not None else DoglegParameters()
+    ns = newton_solver if newton_solver is not None else DenseNewtonSolver()
+    max_attempts = prm.resolved_max_attempts()
+    dtype = state.p.dtype
+    f_true = jnp.asarray(True)
+    f_false = jnp.asarray(False)
 
     def attempt(c: _Carry) -> _Carry:
         """One step attempt: the body of the reference's retry loop
@@ -463,10 +504,19 @@ def solve_products(products_fn: ProductsFn,
         # an element terminates).
         return _tree_where(c.done, c, out)
 
-    final = jax.lax.while_loop(lambda c: ~c.done, attempt, carry0)
+    if max_new_attempts is None:
+        cond = lambda c: ~c.done
+    else:
+        limit = state.n_attempts + max_new_attempts
+        cond = lambda c: (~c.done) & (c.n_attempts < limit)
+    return jax.lax.while_loop(cond, attempt, state)
 
+
+def result_from_state(state: "_Carry") -> SolveResult:
+    """Package a solver state as a SolveResult (reason is RUNNING if the
+    segmented run has not terminated yet)."""
     return SolveResult(
-        p=final.p, norm2_x=final.norm2_x, Jt_x=final.Jt_x, JtJ=final.JtJ,
-        step_count=final.step_count, n_attempts=final.n_attempts,
-        reason=final.reason, trustregion=final.trustregion, lam=final.lam,
-        history=final.history)
+        p=state.p, norm2_x=state.norm2_x, Jt_x=state.Jt_x, JtJ=state.JtJ,
+        step_count=state.step_count, n_attempts=state.n_attempts,
+        reason=state.reason, trustregion=state.trustregion, lam=state.lam,
+        history=state.history)
