@@ -1,0 +1,144 @@
+"""Full benchmark matrix: the five BASELINE.json configurations.
+
+bench.py stays the driver's single-JSON-line headline (config 3); this
+script measures all five configs and prints one JSON line per config.
+Runs on whatever backend the environment provides (the tunneled TPU here).
+
+  1. sparse sample.c problem (block-CSR path), single-solve latency
+  2. dense path: small dense-Jacobian curve fit, single-solve latency
+  3. batched trust-region: 10k independent small problems vmapped per chip
+  4. large block-sparse BA-style problem: Schur elimination of point blocks
+  5. covariance/outlierness pass from the factored JtJ
+"""
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import libdogleg_tpu.sample_problem as sp
+from libdogleg_tpu import DoglegParameters, optimize
+from libdogleg_tpu.analysis import get_outlierness_factors
+from libdogleg_tpu.ops.cholesky import factorize_jtj
+from libdogleg_tpu.ops.newton import SchurJtJ, SchurNewtonSolver
+from libdogleg_tpu.solver import Products, solve_products
+
+DTYPE = jnp.float32
+PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                       update_threshold=1e-5, trustregion_threshold=1e-5)
+
+
+def timeit(fn, *args, reps=10):
+    out = jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps, out
+
+
+def emit(config, metric, value, unit, **extra):
+    print(json.dumps({"config": config, "metric": metric,
+                      "value": round(float(value), 3), "unit": unit,
+                      **extra}))
+
+
+def config1_sparse():
+    meas = sp.simulate(jax.random.PRNGKey(0), dtype=DTYPE)
+    p0 = sp.initial_state(jax.random.PRNGKey(1), dtype=DTYPE)
+    problem = sp.make_sparse_problem(meas)
+    f = jax.jit(lambda q: optimize(problem, q, PRM).p)
+    dt, out = timeit(f, p0)
+    emit("1-sparse-sample", "single_solve_latency", dt * 1e6, "us",
+         recovered=bool(np.all(np.abs(np.asarray(out) - sp.P_TRUE) < 0.2)))
+
+
+def config2_dense():
+    meas = sp.simulate(jax.random.PRNGKey(0), dtype=DTYPE)
+    p0 = sp.initial_state(jax.random.PRNGKey(1), dtype=DTYPE)
+    problem = sp.make_dense_problem(meas)
+    f = jax.jit(lambda q: optimize(problem, q, PRM).p)
+    dt, out = timeit(f, p0)
+    emit("2-dense-curvefit", "single_solve_latency", dt * 1e6, "us",
+         recovered=bool(np.all(np.abs(np.asarray(out) - sp.P_TRUE) < 0.2)))
+
+
+def config3_batched(batch=10000):
+    gx, gy = sp.make_grid(DTYPE)
+
+    def products(p, meas):
+        x = sp.model(p, gx, gy) - meas
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    f = jax.jit(jax.vmap(
+        lambda p0, m: solve_products(lambda p: products(p, m), p0, PRM).p))
+    dt, out = timeit(f, p0s, meas, reps=3)
+    err = np.abs(np.asarray(out) - sp.P_TRUE[None])
+    emit("3-batched-10k", "batched_solves_per_s", batch / dt, "solves/s",
+         vs_baseline=round(batch / dt / 1e4, 2),
+         recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
+
+
+def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
+    rng = np.random.default_rng(0)
+    A = jnp.asarray(rng.normal(size=(n_points, k_obs, bs)), DTYPE)
+    B = jnp.asarray(rng.normal(size=(n_points, k_obs, nc)) * 0.05, DTYPE)
+    c_true = jnp.asarray(rng.normal(size=(nc,)), DTYPE)
+    q_true = jnp.asarray(rng.normal(size=(n_points, bs)), DTYPE)
+    obs = (jnp.einsum('pkb,pb->pk', A, q_true)
+           + jnp.einsum('pkc,c->pk', B, c_true))
+
+    def products(p):
+        c, q = p[:nc], p[nc:].reshape(n_points, bs)
+        r = (jnp.einsum('pkb,pb->pk', A, q)
+             + jnp.einsum('pkc,c->pk', B, c) - obs)
+        return Products(
+            norm2_x=jnp.sum(r * r),
+            Jt_x=jnp.concatenate([jnp.einsum('pkc,pk->c', B, r),
+                                  jnp.einsum('pkb,pk->pb', A, r).ravel()]),
+            JtJ=SchurJtJ(U=jnp.einsum('pkc,pkd->cd', B, B),
+                         W=jnp.einsum('pkc,pkb->cpb', B, A),
+                         V=jnp.einsum('pkb,pkd->pbd', A, A)))
+
+    ns = SchurNewtonSolver(nc=nc, n_points=n_points, block_size=bs)
+    nstate = nc + n_points * bs
+    f = jax.jit(lambda p0: solve_products(products, p0, PRM,
+                                          newton_solver=ns).norm2_x)
+    dt, out = timeit(f, jnp.zeros(nstate, DTYPE), reps=5)
+    emit("4-ba-schur", "solve_latency", dt * 1e3, "ms",
+         nstate=nstate, nmeas=n_points * k_obs,
+         converged=bool(np.asarray(out) < 1e-3))
+
+
+def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
+    rng = np.random.default_rng(0)
+    J = jnp.asarray(rng.normal(size=(nmeas, nstate)), DTYPE)
+    x = jnp.asarray(rng.normal(size=(nmeas,)), DTYPE)
+    JtJ = jnp.matmul(J.T, J, preferred_element_type=DTYPE)
+
+    def pass_(J, x, JtJ):
+        fac = factorize_jtj(JtJ, jnp.asarray(0.0, DTYPE))
+        factors, _ = get_outlierness_factors(x, J, fac.L,
+                                             feature_size=feature_size)
+        return factors
+
+    f = jax.jit(pass_)
+    dt, out = timeit(f, J, x, JtJ, reps=5)
+    emit("5-outlierness", "features_per_s",
+         (nmeas // feature_size) / dt, "features/s",
+         nmeas=nmeas, nstate=nstate)
+
+
+if __name__ == "__main__":
+    config1_sparse()
+    config2_dense()
+    config3_batched()
+    config4_ba_schur()
+    config5_outlierness()

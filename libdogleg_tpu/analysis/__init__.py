@@ -5,6 +5,7 @@ from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
                                                 get_outlierness_scale,
                                                 mark_outliers,
                                                 outlierness_trace_new_feature,
+                                                pseudoinverse_rows,
                                                 report_outliers)
 
 __all__ = [
@@ -15,5 +16,6 @@ __all__ = [
     "get_outlierness_scale",
     "mark_outliers",
     "outlierness_trace_new_feature",
+    "pseudoinverse_rows",
     "report_outliers",
 ]

@@ -49,6 +49,15 @@ def get_outlierness_scale(norm2_x,
     return n_non / (4.0 * ((nstate + 1) * norm2_x / (n_non - nstate - 1)))
 
 
+def pseudoinverse_rows(J: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+    """pinv(J) = inv(JtJ) J^T for ALL measurements at once, given the lower
+    Cholesky factor L of JtJ (+ lambda). The reference computes this in
+    chunks of 4 through CHOLMOD/dpptrs (pseudoinverse_J_dense/sparse,
+    dogleg.c:1826-1921); on TPU it is one batched triangular solve.
+    Returns (nstate, nmeas)."""
+    return cholesky_solve(L, J.T)
+
+
 def _feature_blocks(x: jnp.ndarray, J: jnp.ndarray, L: jnp.ndarray,
                     feature_size: int):
     """A_f = J_f inv(JtJ) J_f^T for every consecutive feature group, plus the
@@ -56,7 +65,7 @@ def _feature_blocks(x: jnp.ndarray, J: jnp.ndarray, L: jnp.ndarray,
     reference's chunks-of-4 pseudoinverse loop (dogleg.c:2427-2495)."""
     nmeas, nstate = J.shape
     nf = nmeas // feature_size
-    W = cholesky_solve(L, J.T)                    # (nstate, nmeas)
+    W = pseudoinverse_rows(J, L)                  # (nstate, nmeas)
     Jr = J.reshape(nf, feature_size, nstate)
     Wr = W.reshape(nstate, nf, feature_size)
     A = jnp.einsum('fim,mfj->fij', Jr, Wr,

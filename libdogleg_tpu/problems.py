@@ -116,8 +116,10 @@ def optimize(problem,
              p0: jnp.ndarray,
              parameters: Optional[DoglegParameters] = None,
              *,
+             newton_solver=None,
              record_history: bool = False,
-             history_capacity: Optional[int] = None) -> SolveResult:
+             history_capacity: Optional[int] = None,
+             debug: bool = False) -> SolveResult:
     """Top-level solve — the counterpart of dogleg_optimize2 /
     dogleg_optimize_dense2 / dogleg_optimize_dense_products (reference
     dogleg.c:1755-1818), with the solve-type dispatch replaced by the problem
@@ -129,5 +131,7 @@ def optimize(problem,
     batched solves.
     """
     return solve_products(problem.products, p0, parameters,
+                          newton_solver=newton_solver,
                           record_history=record_history,
-                          history_capacity=history_capacity)
+                          history_capacity=history_capacity,
+                          debug=debug)

@@ -119,7 +119,8 @@ def main(argv=None) -> int:
     # (sample.c:364-365).
     prm = DoglegParameters(max_iterations=8)
     record = args.diag == "vnlog"
-    result = optimize(problem, p0, prm, record_history=record)
+    result = optimize(problem, p0, prm, record_history=record,
+                      debug=args.diag == "human")
 
     if record:
         print_vnlog(result)

@@ -185,7 +185,8 @@ def solve_products(products_fn: ProductsFn,
                    *,
                    newton_solver=None,
                    record_history: bool = False,
-                   history_capacity: Optional[int] = None) -> SolveResult:
+                   history_capacity: Optional[int] = None,
+                   debug: bool = False) -> SolveResult:
     """Run the dog-leg trust-region optimization.
 
     Args:
@@ -208,7 +209,7 @@ def solve_products(products_fn: ProductsFn,
                               record_history=record_history,
                               history_capacity=history_capacity)
     final = run_solver(products_fn, state, parameters,
-                       newton_solver=newton_solver)
+                       newton_solver=newton_solver, debug=debug)
     return result_from_state(final)
 
 
@@ -269,7 +270,8 @@ def run_solver(products_fn: ProductsFn,
                parameters: Optional[DoglegParameters] = None,
                *,
                newton_solver=None,
-               max_new_attempts: Optional[int] = None) -> "_Carry":
+               max_new_attempts: Optional[int] = None,
+               debug: bool = False) -> "_Carry":
     """Advance the solve until termination (default) or for at most
     max_new_attempts further step attempts — the segmented form used for
     checkpointed long runs. Jittable and vmappable; resuming from a saved
@@ -443,6 +445,21 @@ def run_solver(products_fn: ProductsFn,
             ~fac_ok, failed,
             _tree_where(small_step, small,
                         _tree_where(accept, accepted, rejected)))
+
+        if debug:
+            # Human diagnostic stream — the reference's SAY_IF_VERBOSE
+            # narration at each solver decision (reference dogleg.c:1182,
+            # 611, 900, 1314, 1432, 1456), emitted from inside jit.
+            jax.debug.print(
+                "libdogleg-tpu: attempt {a}: trustregion {tr:.6} | "
+                "cauchy {lc:.6} gn {lg} | step type {st} len {ls:.6} | "
+                "expected/observed {e:.6}/{o:.6} rho {r:.6} | "
+                "accept {acc} -> trustregion {tr2:.6}",
+                a=c.n_attempts, tr=tr, lc=jnp.sqrt(norm2_cauchy),
+                lg=jnp.where(have_gn, jnp.sqrt(norm2_gn), jnp.nan),
+                st=step_type, ls=jnp.sqrt(norm2_step),
+                e=expected, o=observed, r=rho,
+                acc=accept & ~small_step, tr2=tr_new)
 
         if c.history is not None:
             idx = jnp.minimum(c.n_attempts, c.history.iteration.shape[0] - 1)

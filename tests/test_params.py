@@ -1,0 +1,36 @@
+"""Parameter-system parity: defaults and semantics pinned to the reference
+(the analog of the reference's ABI regression test, test-misc.c — here what
+must never drift silently is the default *values* and knob set,
+dogleg.c:117-128)."""
+
+from libdogleg_tpu import DoglegParameters, get_default_parameters
+
+
+def test_defaults_match_reference_exactly():
+    p = get_default_parameters()
+    assert p.max_iterations == 100                      # dogleg.c:119
+    assert p.trustregion0 == 1.0e3                      # dogleg.c:120
+    assert p.trustregion_decrease_factor == 0.1         # dogleg.c:121
+    assert p.trustregion_decrease_threshold == 0.25     # dogleg.c:122
+    assert p.trustregion_increase_factor == 2.0         # dogleg.c:123
+    assert p.trustregion_increase_threshold == 0.75     # dogleg.c:124
+    assert p.Jt_x_threshold == 1e-8                     # dogleg.c:125
+    assert p.update_threshold == 1e-8                   # dogleg.c:126
+    assert p.trustregion_threshold == 1e-8              # dogleg.c:127
+    assert p.lambda_initial == 1e-10                    # dogleg.c:138
+
+
+def test_parameters_are_immutable_and_replaceable():
+    p = DoglegParameters()
+    q = p.replace(max_iterations=8)
+    assert q.max_iterations == 8 and p.max_iterations == 100
+    try:
+        p.max_iterations = 5
+        assert False, "should be frozen"
+    except AttributeError:
+        pass
+
+
+def test_attempt_cap_derivation():
+    assert DoglegParameters().resolved_max_attempts() == 100 * 64
+    assert DoglegParameters(max_attempts=7).resolved_max_attempts() == 7
