@@ -32,6 +32,7 @@ from libdogleg_tpu.ops.newton import (
     DenseNewtonSolver,
     SchurJtJ,
     SchurNewtonSolver,
+    SparseNewtonSolver,
 )
 from libdogleg_tpu.problems import (
     DenseProblem,
@@ -57,6 +58,7 @@ __all__ = [
     "DenseNewtonSolver",
     "SchurNewtonSolver",
     "SchurJtJ",
+    "SparseNewtonSolver",
     "DenseProblem",
     "SparseProblem",
     "ProductsProblem",

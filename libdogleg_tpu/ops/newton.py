@@ -22,6 +22,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from libdogleg_tpu.ops import cholesky as chol
 
@@ -154,6 +155,48 @@ class SchurNewtonSolver:
         dp = vsolve(rp2[..., None])[..., 0]
         u = jnp.concatenate([dc, dp.reshape(-1)])
         step = -u
+        return GNResult(step=step, norm2_step=jnp.dot(step, step),
+                        lam=lam, ok=ok)
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseNewtonSolver:
+    """General block-sparse Gauss-Newton systems via the level-scheduled
+    block-sparse Cholesky (libdogleg_tpu.sparse_cholesky) — the CHOLMOD
+    replacement for patterns that are neither dense nor arrow-structured.
+
+    Products.JtJ is the (n_input_blocks, b, b) tensor of stored
+    lower-triangle blocks in the pattern this strategy was analyzed for.
+    The symbolic analysis (fill + level schedules) happens once at
+    construction, mirroring the reference's single cholmod_analyze
+    (dogleg.c:649-654).
+    """
+    symbolic: "object"  # SparseCholeskySymbolic (kept loose to avoid cycle)
+
+    @staticmethod
+    def analyze(rows, cols, nb: int, b: int = 1) -> "SparseNewtonSolver":
+        from libdogleg_tpu import sparse_cholesky as sc
+        return SparseNewtonSolver(symbolic=sc.analyze(rows, cols, nb, b))
+
+    def quad_form(self, blocks, v):
+        sym = self.symbolic
+        b = sym.b
+        vb = v.reshape(sym.nb, b)
+        vi = vb[jnp.asarray(sym.in_rows)]
+        vj = vb[jnp.asarray(sym.in_cols)]
+        per_block = jnp.einsum('ka,kab,kb->k', vi, blocks, vj,
+                               preferred_element_type=v.dtype)
+        offdiag = jnp.asarray((sym.in_rows != sym.in_cols).astype(np.int8))
+        weight = jnp.where(offdiag == 1, 2.0, 1.0).astype(v.dtype)
+        return jnp.sum(per_block * weight)
+
+    def gauss_newton(self, blocks, Jt_x, lam, *, lambda_initial,
+                     lambda_max_tries) -> GNResult:
+        from libdogleg_tpu import sparse_cholesky as sc
+        L, lam, ok = sc.factorize_with_lambda(
+            self.symbolic, blocks, lam, lambda_initial=lambda_initial,
+            lambda_max_tries=lambda_max_tries)
+        step = -sc.solve(self.symbolic, L, Jt_x)
         return GNResult(step=step, norm2_step=jnp.dot(step, step),
                         lam=lam, ok=ok)
 
