@@ -14,9 +14,74 @@
 #include <algorithm>
 #include <cstdint>
 #include <cstring>
+#include <queue>
+#include <set>
+#include <utility>
 #include <vector>
 
 extern "C" {
+
+// ---------------------------------------------------------------------
+// Minimum-degree fill-reducing ordering on a symmetric (block) pattern.
+//
+// The reference gets its fill-reducing ordering from cholmod_analyze
+// (AMD/COLAMD inside CHOLMOD, reference dogleg.c:649-654); without one, a
+// sparse Cholesky can fill catastrophically (an arrow matrix pointing the
+// wrong way fills completely). This is the classic exact-minimum-degree
+// elimination-graph algorithm with lazy heap updates: eliminate the
+// minimum-degree vertex, form a clique among its neighbors, repeat.
+// perm_out[k] = original index of the block eliminated k-th.
+
+void mindeg_order(const int32_t* rows, const int32_t* cols, int64_t nnz,
+                  int32_t n, int32_t* perm_out) {
+  std::vector<std::set<int32_t>> adj(static_cast<size_t>(n));
+  for (int64_t e = 0; e < nnz; ++e) {
+    const int32_t i = rows[e], j = cols[e];
+    if (i != j) {
+      adj[i].insert(j);
+      adj[j].insert(i);
+    }
+  }
+  // lazy min-heap of (degree, vertex); stale entries skipped on pop
+  using Ent = std::pair<int32_t, int32_t>;
+  std::priority_queue<Ent, std::vector<Ent>, std::greater<Ent>> heap;
+  std::vector<char> eliminated(static_cast<size_t>(n), 0);
+  for (int32_t v = 0; v < n; ++v) {
+    heap.push({static_cast<int32_t>(adj[v].size()), v});
+  }
+  for (int32_t k = 0; k < n; ++k) {
+    int32_t v = -1;
+    while (!heap.empty()) {
+      const Ent top = heap.top();
+      heap.pop();
+      if (!eliminated[top.second] &&
+          static_cast<int32_t>(adj[top.second].size()) == top.first) {
+        v = top.second;
+        break;
+      }
+    }
+    // exhausted heap (all stale): pick any remaining vertex
+    if (v < 0) {
+      for (int32_t u = 0; u < n; ++u) {
+        if (!eliminated[u]) { v = u; break; }
+      }
+    }
+    perm_out[k] = v;
+    eliminated[v] = 1;
+    const std::vector<int32_t> nbrs(adj[v].begin(), adj[v].end());
+    for (const int32_t u : nbrs) adj[u].erase(v);
+    for (size_t a = 0; a < nbrs.size(); ++a) {
+      for (size_t c = a + 1; c < nbrs.size(); ++c) {
+        adj[nbrs[a]].insert(nbrs[c]);
+        adj[nbrs[c]].insert(nbrs[a]);
+      }
+    }
+    for (const int32_t u : nbrs) {
+      heap.push({static_cast<int32_t>(adj[u].size()), u});
+    }
+    adj[v].clear();
+  }
+}
 
 // ---------------------------------------------------------------------
 // JtJ pair schedule: for every ordered pair (a, b) of stored blocks that

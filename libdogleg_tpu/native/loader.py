@@ -52,6 +52,9 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.bcsr_block_pattern.argtypes = [i64p, i32p, ctypes.c_int32,
                                        ctypes.c_int32, ctypes.c_int32,
                                        ctypes.c_int32, i32p, i32p]
+    lib.mindeg_order.restype = None
+    lib.mindeg_order.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
+                                 i32p]
     return lib
 
 

@@ -174,9 +174,11 @@ class SparseNewtonSolver:
     symbolic: "object"  # SparseCholeskySymbolic (kept loose to avoid cycle)
 
     @staticmethod
-    def analyze(rows, cols, nb: int, b: int = 1) -> "SparseNewtonSolver":
+    def analyze(rows, cols, nb: int, b: int = 1,
+                ordering="mindeg") -> "SparseNewtonSolver":
         from libdogleg_tpu import sparse_cholesky as sc
-        return SparseNewtonSolver(symbolic=sc.analyze(rows, cols, nb, b))
+        return SparseNewtonSolver(
+            symbolic=sc.analyze(rows, cols, nb, b, ordering))
 
     def quad_form(self, blocks, v):
         sym = self.symbolic

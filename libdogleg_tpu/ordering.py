@@ -1,0 +1,99 @@
+"""Fill-reducing ordering for the block-sparse Cholesky.
+
+The reference's sparse factorization delegates ordering to CHOLMOD:
+cholmod_analyze picks a fill-reducing permutation (AMD family) before the
+symbolic factorization (reference dogleg.c:649-654). Without one, simplicial
+Cholesky can fill catastrophically — an "arrow" matrix whose dense row comes
+first factors completely full, while the reverse order has zero fill.
+
+This module provides the exact-minimum-degree elimination-graph ordering:
+repeatedly eliminate the minimum-degree vertex of the (block) adjacency
+graph, forming a clique among its neighbors. Native C++ fast path
+(csrc/symbolic.cpp: mindeg_order) with a pure-Python fallback of identical
+output. Runs once per sparsity pattern on the host, like the rest of the
+symbolic phase.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import heapq
+from typing import Optional
+
+import numpy as np
+
+from libdogleg_tpu.native.loader import get_lib
+
+
+def _mindeg_python(rows: np.ndarray, cols: np.ndarray,
+                   n: int) -> np.ndarray:
+    """Pure-Python exact minimum degree (lazy-heap), identical tie-breaking
+    (smallest current degree, then smallest vertex index) to the native
+    kernel."""
+    adj = [set() for _ in range(n)]
+    for i, j in zip(rows, cols):
+        i, j = int(i), int(j)
+        if i != j:
+            adj[i].add(j)
+            adj[j].add(i)
+    heap = [(len(adj[v]), v) for v in range(n)]
+    heapq.heapify(heap)
+    eliminated = np.zeros(n, bool)
+    perm = np.empty(n, np.int32)
+    for k in range(n):
+        v = -1
+        while heap:
+            d, u = heapq.heappop(heap)
+            if not eliminated[u] and len(adj[u]) == d:
+                v = u
+                break
+        if v < 0:
+            v = int(np.flatnonzero(~eliminated)[0])
+        perm[k] = v
+        eliminated[v] = True
+        nbrs = sorted(adj[v])
+        for u in nbrs:
+            adj[u].discard(v)
+        for a in range(len(nbrs)):
+            for c in range(a + 1, len(nbrs)):
+                adj[nbrs[a]].add(nbrs[c])
+                adj[nbrs[c]].add(nbrs[a])
+        for u in nbrs:
+            heapq.heappush(heap, (len(adj[u]), u))
+        adj[v].clear()
+    return perm
+
+
+def mindeg_ordering(rows: np.ndarray, cols: np.ndarray,
+                    n: int) -> np.ndarray:
+    """Fill-reducing permutation for the symmetric pattern given by the
+    stored (row, col) coordinate lists (either triangle; diagonal entries
+    ignored). Returns perm with perm[k] = original index eliminated k-th."""
+    rows = np.ascontiguousarray(rows, np.int32)
+    cols = np.ascontiguousarray(cols, np.int32)
+    lib = get_lib()
+    if lib is not None:
+        perm = np.empty(n, np.int32)
+        lib.mindeg_order(
+            rows.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            cols.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+            np.int64(rows.shape[0]), np.int32(n),
+            perm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)))
+        return perm
+    return _mindeg_python(rows, cols, n)
+
+
+def resolve_ordering(ordering, rows: np.ndarray, cols: np.ndarray,
+                     n: int) -> np.ndarray:
+    """Normalize an ordering spec — "mindeg"/"amd", "natural", or an explicit
+    permutation array — to a perm array (perm[k] = original index k-th in
+    elimination order)."""
+    if ordering is None or ordering == "natural":
+        return np.arange(n, dtype=np.int32)
+    if isinstance(ordering, str):
+        if ordering in ("mindeg", "amd"):
+            return mindeg_ordering(rows, cols, n)
+        raise ValueError(f"unknown ordering {ordering!r}")
+    perm = np.asarray(ordering, np.int32)
+    assert perm.shape == (n,) and np.array_equal(np.sort(perm), np.arange(n))
+    return perm

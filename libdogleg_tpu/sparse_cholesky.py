@@ -64,7 +64,14 @@ class SolveLevel(NamedTuple):
 
 @dataclasses.dataclass(frozen=True)
 class SparseCholeskySymbolic:
-    """The one-time analysis artifact (the cholmod_analyze equivalent)."""
+    """The one-time analysis artifact (the cholmod_analyze equivalent).
+
+    All structural fields live in the *permuted* (elimination-order) space;
+    perm maps back: permuted block row j is original block perm[j]. The
+    numeric entry points (factorize / solve) apply the permutation
+    internally, so callers always pass data in the original order — the same
+    contract as CHOLMOD, whose factor carries its own fill-reducing
+    permutation."""
     nb: int                       # number of block rows/cols
     b: int                        # block size
     # Filled lower pattern in (row, col) coordinate lists, diagonal included;
@@ -77,7 +84,13 @@ class SparseCholeskySymbolic:
     bwd_levels: Tuple[SolveLevel, ...]
     # scatter map for loading A's blocks into the filled slots:
     a_slot_of_input: np.ndarray   # (n_input_blocks,) slot per input block
-    # the input (unfilled) pattern, for quad-form style consumers:
+    # whether each input block lands transposed (its unordered (i, j) pair
+    # flipped triangles under the permutation):
+    a_transpose: np.ndarray       # (n_input_blocks,) bool
+    # fill-reducing permutation: perm[k] = original block eliminated k-th.
+    perm: np.ndarray              # (nb,)
+    # the input (unfilled) pattern in ORIGINAL coordinates, for quad-form
+    # style consumers:
     in_rows: np.ndarray
     in_cols: np.ndarray
 
@@ -87,18 +100,35 @@ class SparseCholeskySymbolic:
 
 
 def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
-            b: int = 1) -> SparseCholeskySymbolic:
+            b: int = 1, ordering="mindeg") -> SparseCholeskySymbolic:
     """Symbolic analysis of a symmetric block pattern.
 
     Args:
       rows, cols: block coordinates of the stored lower triangle of JtJ
         (i >= j), diagonal blocks required present.
       nb: number of block rows/cols; b: block size.
+      ordering: fill-reducing ordering — "mindeg"/"amd" (default; the
+        CHOLMOD-analyze equivalent, see libdogleg_tpu.ordering), "natural",
+        or an explicit permutation array perm[k] = original block k-th in
+        elimination order.
     """
     rows = np.asarray(rows, np.int64)
     cols = np.asarray(cols, np.int64)
     assert np.all(rows >= cols), "pass the lower triangle (i >= j)"
     n_input = rows.shape[0]
+    in_rows, in_cols = rows, cols
+
+    # --- fill-reducing permutation, then map the pattern into elimination
+    # order. An input block whose (i, j) pair flips triangles lands
+    # transposed (B at (i, j) is B^T at (j, i)).
+    from libdogleg_tpu.ordering import resolve_ordering
+    perm = resolve_ordering(ordering, rows, cols, nb)
+    iperm = np.empty(nb, np.int64)
+    iperm[perm] = np.arange(nb)
+    pi, pj = iperm[rows], iperm[cols]
+    a_transpose = pi < pj
+    rows = np.where(a_transpose, pj, pi)
+    cols = np.where(a_transpose, pi, pj)
 
     # --- symbolic fill: column j's below-diagonal structure propagates to
     # its elimination parent (classic simplicial fill).
@@ -228,7 +258,8 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
         nb=nb, b=b, rows=np.asarray(out_rows, np.int64),
         cols=np.asarray(out_cols, np.int64), diag_slot_of=diag_slot_of,
         levels=levels, fwd_levels=tuple(fwd), bwd_levels=tuple(bwd),
-        a_slot_of_input=a_slot_of_input, in_rows=rows, in_cols=cols)
+        a_slot_of_input=a_slot_of_input, a_transpose=a_transpose,
+        perm=perm.astype(np.int64), in_rows=in_rows, in_cols=in_cols)
 
 
 # --------------------------------------------------------------------------
@@ -313,6 +344,12 @@ def factorize(sym: SparseCholeskySymbolic,
     damped by lam on the diagonal. Returns (L_blocks (nslots, b, b), ok)."""
     b = sym.b
     dtype = input_blocks.dtype
+    # Blocks whose (i, j) pair flipped triangles under the fill-reducing
+    # permutation enter transposed.
+    if b > 1 and bool(np.any(sym.a_transpose)):
+        input_blocks = jnp.where(
+            jnp.asarray(sym.a_transpose)[:, None, None],
+            jnp.swapaxes(input_blocks, -1, -2), input_blocks)
     # one extra trash slot absorbs the padded (inactive) ops of the scan
     vals = jnp.zeros((sym.nslots + 1, b, b), dtype)
     vals = vals.at[jnp.asarray(sym.a_slot_of_input)].add(input_blocks)
@@ -349,11 +386,14 @@ def factorize(sym: SparseCholeskySymbolic,
 def solve(sym: SparseCholeskySymbolic,
           L_blocks: jnp.ndarray,
           rhs: jnp.ndarray) -> jnp.ndarray:
-    """Solve (L L^T) x = rhs with the block-sparse factor. rhs: (nb*b,)."""
+    """Solve (P^T L L^T P) x = rhs with the block-sparse factor, P being the
+    fill-reducing permutation baked into the symbolic analysis. rhs is in the
+    caller's original block order: (nb*b,)."""
     b = sym.b
     dtype = rhs.dtype
+    perm = jnp.asarray(sym.perm)
     # extra trash row absorbs padded ops
-    y = jnp.concatenate([rhs.reshape(sym.nb, b),
+    y = jnp.concatenate([rhs.reshape(sym.nb, b)[perm],
                          jnp.zeros((1, b), dtype)], axis=0)
 
     def tri(Ld, v, transpose):
@@ -385,7 +425,9 @@ def solve(sym: SparseCholeskySymbolic,
 
     y = phase(y, sym.fwd_levels, transpose=False, transpose_coupling=False)
     y = phase(y, sym.bwd_levels, transpose=True, transpose_coupling=True)
-    return y[:sym.nb].reshape(sym.nb * b)
+    # un-permute: original block perm[j] holds permuted solution block j
+    out = jnp.zeros((sym.nb, b), dtype).at[perm].set(y[:sym.nb])
+    return out.reshape(sym.nb * b)
 
 
 def factorize_with_lambda(sym: SparseCholeskySymbolic,

@@ -45,12 +45,13 @@ def _random_spd_pattern(seed, nb, b, extra_offdiag):
 
 @pytest.mark.parametrize("nb,b,extra", [(8, 1, 10), (8, 3, 10), (12, 2, 20),
                                         (5, 4, 6)])
-def test_factorization_matches_dense(nb, b, extra):
+@pytest.mark.parametrize("ordering", ["natural", "mindeg"])
+def test_factorization_matches_dense(nb, b, extra, ordering):
     dense, blocks, rows, cols = _random_spd_pattern(0, nb, b, extra)
-    sym = sc.analyze(rows, cols, nb, b)
+    sym = sc.analyze(rows, cols, nb, b, ordering)
     L, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
     assert bool(ok)
-    # reassemble L and check L L^T == dense
+    # reassemble L in the permuted space and check L L^T == P A P^T
     n = nb * b
     Lfull = np.zeros((n, n))
     for k in range(sym.nslots):
@@ -58,19 +59,79 @@ def test_factorization_matches_dense(nb, b, extra):
         Lfull[i * b:(i + 1) * b, j * b:(j + 1) * b] = np.asarray(L[k])
     # zero strict upper of diagonal blocks
     Lfull = np.tril(Lfull)
-    np.testing.assert_allclose(Lfull @ Lfull.T, dense, rtol=1e-9, atol=1e-9)
+    sperm = (sym.perm[:, None] * b + np.arange(b)[None]).reshape(-1)
+    np.testing.assert_allclose(Lfull @ Lfull.T, dense[sperm][:, sperm],
+                               rtol=1e-9, atol=1e-9)
 
 
 @pytest.mark.parametrize("nb,b,extra", [(8, 1, 10), (10, 3, 18)])
-def test_solve_matches_dense(nb, b, extra):
+@pytest.mark.parametrize("ordering", ["natural", "mindeg"])
+def test_solve_matches_dense(nb, b, extra, ordering):
     dense, blocks, rows, cols = _random_spd_pattern(1, nb, b, extra)
-    sym = sc.analyze(rows, cols, nb, b)
+    sym = sc.analyze(rows, cols, nb, b, ordering)
     L, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
     assert bool(ok)
     rhs = jnp.asarray(np.random.default_rng(2).normal(size=(nb * b,)))
     x = sc.solve(sym, L, rhs)
     np.testing.assert_allclose(dense @ np.asarray(x), np.asarray(rhs),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_mindeg_kills_arrow_fill():
+    """An arrow matrix with the dense hub FIRST fills completely in natural
+    order; the minimum-degree ordering (the cholmod_analyze-equivalent,
+    reference dogleg.c:649-654) eliminates the hub last, restoring zero
+    fill."""
+    nb, b = 24, 2
+    rows = np.concatenate([np.arange(nb), np.arange(1, nb)])
+    cols = np.concatenate([np.arange(nb), np.zeros(nb - 1, np.int64)])
+    order = np.lexsort((rows, cols))
+    rows, cols = rows[order], cols[order]
+
+    nat = sc.analyze(rows, cols, nb, b, ordering="natural")
+    amd = sc.analyze(rows, cols, nb, b, ordering="mindeg")
+    assert nat.nslots == nb * (nb + 1) // 2      # full fill
+    assert amd.nslots == rows.shape[0]           # zero fill
+    # the hub is not eliminated while it still has high degree
+    assert int(amd.perm[0]) != 0
+
+    # numerics agree with the dense oracle under the permutation
+    rng = np.random.default_rng(3)
+    blocks = []
+    dense = np.zeros((nb * b, nb * b))
+    for i, j in zip(rows, cols):
+        blk = rng.normal(size=(b, b)) * 0.1
+        if i == j:
+            blk = blk @ blk.T + np.eye(b) * (3 + nb * 0.2)
+        dense[i * b:(i + 1) * b, j * b:(j + 1) * b] = blk
+        if i != j:
+            dense[j * b:(j + 1) * b, i * b:(i + 1) * b] = blk.T
+        blocks.append(blk)
+    blocks = jnp.asarray(np.stack(blocks))
+    L, ok = sc.factorize(amd, blocks, jnp.asarray(0.0))
+    assert bool(ok)
+    rhs = jnp.asarray(rng.normal(size=(nb * b,)))
+    x = sc.solve(amd, L, rhs)
+    np.testing.assert_allclose(dense @ np.asarray(x), np.asarray(rhs),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_mindeg_native_matches_python_fallback():
+    from libdogleg_tpu import ordering as od
+    from libdogleg_tpu.native.loader import native_available
+    rng = np.random.default_rng(11)
+    nb = 40
+    pairs = {(j, j) for j in range(nb)}
+    while len(pairs) < nb + 70:
+        i = int(rng.integers(1, nb))
+        j = int(rng.integers(0, i))
+        pairs.add((i, j))
+    rows, cols = map(np.asarray, zip(*sorted(pairs)))
+    py = od._mindeg_python(rows, cols, nb)
+    full = od.mindeg_ordering(rows, cols, nb)
+    if native_available():
+        np.testing.assert_array_equal(py, full)
+    assert np.array_equal(np.sort(full), np.arange(nb))
 
 
 def test_lambda_escalation_on_singular():
