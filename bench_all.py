@@ -18,11 +18,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-import libdogleg_tpu.sample_problem as sp
+import libdogleg_tpu.models.quadratic_surface as sp
 from libdogleg_tpu import DoglegParameters, optimize
 from libdogleg_tpu.analysis import get_outlierness_factors
+from libdogleg_tpu.models import bundle_adjustment, curve_fit
 from libdogleg_tpu.ops.cholesky import factorize_jtj
-from libdogleg_tpu.ops.newton import SchurJtJ, SchurNewtonSolver
 from libdogleg_tpu.solver import Products, solve_products
 
 DTYPE = jnp.float32
@@ -56,13 +56,14 @@ def config1_sparse():
 
 
 def config2_dense():
-    meas = sp.simulate(jax.random.PRNGKey(0), dtype=DTYPE)
-    p0 = sp.initial_state(jax.random.PRNGKey(1), dtype=DTYPE)
-    problem = sp.make_dense_problem(meas)
+    meas = curve_fit.simulate(jax.random.PRNGKey(0), dtype=DTYPE)
+    p0 = curve_fit.initial_state(jax.random.PRNGKey(1), dtype=DTYPE)
+    problem = curve_fit.make_dense_problem(meas)
     f = jax.jit(lambda q: optimize(problem, q, PRM).p)
     dt, out = timeit(f, p0)
     emit("2-dense-curvefit", "single_solve_latency", dt * 1e6, "us",
-         recovered=bool(np.all(np.abs(np.asarray(out) - sp.P_TRUE) < 0.2)))
+         recovered=bool(np.all(
+             np.abs(np.asarray(out) - curve_fit.P_TRUE) < 0.2)))
 
 
 def config3_batched(batch=10000):
@@ -87,33 +88,15 @@ def config3_batched(batch=10000):
 
 
 def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
-    rng = np.random.default_rng(0)
-    A = jnp.asarray(rng.normal(size=(n_points, k_obs, bs)), DTYPE)
-    B = jnp.asarray(rng.normal(size=(n_points, k_obs, nc)) * 0.05, DTYPE)
-    c_true = jnp.asarray(rng.normal(size=(nc,)), DTYPE)
-    q_true = jnp.asarray(rng.normal(size=(n_points, bs)), DTYPE)
-    obs = (jnp.einsum('pkb,pb->pk', A, q_true)
-           + jnp.einsum('pkc,c->pk', B, c_true))
-
-    def products(p):
-        c, q = p[:nc], p[nc:].reshape(n_points, bs)
-        r = (jnp.einsum('pkb,pb->pk', A, q)
-             + jnp.einsum('pkc,c->pk', B, c) - obs)
-        return Products(
-            norm2_x=jnp.sum(r * r),
-            Jt_x=jnp.concatenate([jnp.einsum('pkc,pk->c', B, r),
-                                  jnp.einsum('pkb,pk->pb', A, r).ravel()]),
-            JtJ=SchurJtJ(U=jnp.einsum('pkc,pkd->cd', B, B),
-                         W=jnp.einsum('pkc,pkb->cpb', B, A),
-                         V=jnp.einsum('pkb,pkd->pbd', A, A)))
-
-    ns = SchurNewtonSolver(nc=nc, n_points=n_points, block_size=bs)
-    nstate = nc + n_points * bs
-    f = jax.jit(lambda p0: solve_products(products, p0, PRM,
-                                          newton_solver=ns).norm2_x)
-    dt, out = timeit(f, jnp.zeros(nstate, DTYPE), reps=5)
+    ba = bundle_adjustment.make_synthetic(
+        seed=0, nc=nc, n_points=n_points, block_size=bs, k_obs=k_obs,
+        dtype=DTYPE)
+    f = jax.jit(lambda p0: solve_products(ba.products, p0, PRM,
+                                          newton_solver=ba.newton_solver()
+                                          ).norm2_x)
+    dt, out = timeit(f, jnp.zeros(ba.nstate, DTYPE), reps=5)
     emit("4-ba-schur", "solve_latency", dt * 1e3, "ms",
-         nstate=nstate, nmeas=n_points * k_obs,
+         nstate=ba.nstate, nmeas=ba.nmeasurements,
          converged=bool(np.asarray(out) < 1e-3))
 
 

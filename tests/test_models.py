@@ -1,0 +1,81 @@
+"""Model families (libdogleg_tpu.models): each converges through the public
+API and is self-consistent (autodiff cross-checks on hand-written products)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from libdogleg_tpu import DoglegParameters, StopReason, optimize
+from libdogleg_tpu.models import bundle_adjustment, curve_fit
+from libdogleg_tpu.models import quadratic_surface as qs
+from libdogleg_tpu.solver import solve_products
+
+
+def test_sample_problem_alias():
+    """The legacy module path keeps working."""
+    import libdogleg_tpu.sample_problem as sp
+    assert sp.model is qs.model and sp.NSTATE == qs.NSTATE
+
+
+@pytest.mark.parametrize("make", [curve_fit.make_dense_problem,
+                                  curve_fit.make_products_problem,
+                                  curve_fit.make_residual_problem])
+def test_curve_fit_converges(make):
+    meas = curve_fit.simulate(jax.random.PRNGKey(0))
+    p0 = curve_fit.initial_state(jax.random.PRNGKey(1))
+    r = jax.jit(lambda q: optimize(make(meas), q, DoglegParameters()))(p0)
+    assert StopReason(int(r.reason)) in (StopReason.GRADIENT_CONVERGED,
+                                         StopReason.SMALL_STEP)
+    np.testing.assert_allclose(np.asarray(r.p), curve_fit.P_TRUE, atol=5e-2)
+
+
+def test_curve_fit_is_nonlinear():
+    """The curve fit must take >1 accepted step from a cold start (unlike the
+    quadratic-surface demo, which is linear in p)."""
+    meas = curve_fit.simulate(jax.random.PRNGKey(0))
+    p0 = curve_fit.initial_state(jax.random.PRNGKey(1))
+    r = optimize(curve_fit.make_dense_problem(meas), p0, DoglegParameters())
+    assert int(r.step_count) > 1
+
+
+def test_curve_fit_jacobian_matches_autodiff():
+    t = curve_fit.make_t(16)
+    p = jnp.asarray([1.3, -0.7, 0.2])
+    J = curve_fit.jacobian(p, t)
+    J_ad = jax.jacfwd(lambda q: curve_fit.model(q, t))(p)
+    np.testing.assert_allclose(np.asarray(J), np.asarray(J_ad),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_ba_products_match_autodiff():
+    """The hand-reduced arrow products agree with autodiff on the residuals:
+    grad(norm2_x) == 2 Jt_x, and the quadratic form through SchurJtJ equals
+    norm2(J v)."""
+    ba = bundle_adjustment.make_synthetic(seed=1, nc=5, n_points=7,
+                                          block_size=2, k_obs=3,
+                                          dtype=jnp.float64)
+    rng = np.random.default_rng(2)
+    p = jnp.asarray(rng.normal(size=(ba.nstate,)))
+    prod = ba.products(p)
+    g = jax.grad(lambda q: jnp.sum(ba.residuals(q) ** 2))(p)
+    np.testing.assert_allclose(np.asarray(prod.Jt_x), np.asarray(g) / 2.0,
+                               rtol=1e-10, atol=1e-12)
+    v = jnp.asarray(rng.normal(size=(ba.nstate,)))
+    Jv = jax.jvp(lambda q: ba.residuals(q), (p,), (v,))[1]
+    qf = ba.newton_solver().quad_form(prod.JtJ, v)
+    np.testing.assert_allclose(float(qf), float(jnp.sum(Jv * Jv)),
+                               rtol=1e-10)
+
+
+def test_ba_solve_recovers_truth():
+    """noise=0 makes p_true the exact optimum; one solve recovers it."""
+    ba = bundle_adjustment.make_synthetic(seed=3, nc=8, n_points=50,
+                                          block_size=3, k_obs=4,
+                                          dtype=jnp.float64)
+    r = jax.jit(lambda p0: solve_products(
+        ba.products, p0, DoglegParameters(),
+        newton_solver=ba.newton_solver()))(jnp.zeros(ba.nstate))
+    assert float(r.norm2_x) < 1e-16
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(ba.p_true),
+                               atol=1e-7)
