@@ -24,15 +24,16 @@ _TRIED = False
 
 
 def _build() -> Optional[pathlib.Path]:
-    src = _SRC / "symbolic.cpp"
-    if not src.exists():
+    srcs = sorted(_SRC.glob("*.cpp"))
+    if not srcs:
         return None
     _CACHE_DIR.mkdir(exist_ok=True)
     so = _CACHE_DIR / "libdogleg_tpu_symbolic.so"
-    if so.exists() and so.stat().st_mtime >= src.stat().st_mtime:
+    newest = max(s.stat().st_mtime for s in srcs)
+    if so.exists() and so.stat().st_mtime >= newest:
         return so
     cmd = ["g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-           str(src), "-o", str(so)]
+           *map(str, srcs), "-o", str(so)]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
     except (OSError, subprocess.SubprocessError):
@@ -55,6 +56,15 @@ def _bind(lib: ctypes.CDLL) -> ctypes.CDLL:
     lib.mindeg_order.restype = None
     lib.mindeg_order.argtypes = [i32p, i32p, ctypes.c_int64, ctypes.c_int32,
                                  i32p]
+    lib.chol_symbolic_build.restype = ctypes.c_void_p
+    lib.chol_symbolic_build.argtypes = [i32p, i32p, ctypes.c_int64,
+                                        ctypes.c_int32]
+    lib.chol_symbolic_free.restype = None
+    lib.chol_symbolic_free.argtypes = [ctypes.c_void_p]
+    lib.chol_symbolic_counts.restype = None
+    lib.chol_symbolic_counts.argtypes = [ctypes.c_void_p, i64p]
+    lib.chol_symbolic_export.restype = None
+    lib.chol_symbolic_export.argtypes = [ctypes.c_void_p] + [i32p] * 26
     return lib
 
 

@@ -7,11 +7,15 @@ A TPU has no sparse direct solver; this module builds one from the two
 primitives a TPU is good at — batched dense block ops and static schedules:
 
   symbolic (host, once per pattern):
+    * a fill-reducing minimum-degree ordering (libdogleg_tpu.ordering — the
+      AMD step inside cholmod_analyze)
     * symbolic fill on the block pattern (elimination in block-column order)
     * an operation DAG — UPDATE(i,j,k): C_ij -= L_ik L_jk^T,
       FACTOR(j): L_jj = chol(C_jj), SOLVE(i,j): L_ij = C_ij L_jj^{-T} —
       scheduled into ASAP dependency levels
     * level schedules for the forward/backward block-triangular solves
+    The builder is native C++ (csrc/chol_symbolic.cpp) with an
+    identical-output pure-Python fallback.
 
   numeric (jitted, per factorization):
     * one pass over the levels; each level is a *batch* of independent block
@@ -30,7 +34,7 @@ the supernodal-style regime).
 from __future__ import annotations
 
 import dataclasses
-from typing import List, NamedTuple, Optional, Tuple
+from typing import Dict, List, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -40,26 +44,37 @@ from libdogleg_tpu.ops import smallchol
 
 
 # --------------------------------------------------------------------------
-# Symbolic phase (host-side numpy; one-time per sparsity pattern)
+# Symbolic phase (host; native C++ with Python fallback; once per pattern)
 # --------------------------------------------------------------------------
 
-class LevelOps(NamedTuple):
-    """Batched block ops of one dependency level (numpy index arrays)."""
-    upd_tgt: np.ndarray   # (nu,) L-slot receiving C_ij -= L_ik L_jk^T
-    upd_i: np.ndarray     # (nu,) L-slot of L_ik
-    upd_j: np.ndarray     # (nu,) L-slot of L_jk
-    fac: np.ndarray       # (nf,) L-slots of diagonal blocks to factor
-    sol_tgt: np.ndarray   # (ns,) L-slots of off-diagonal blocks to solve
-    sol_diag: np.ndarray  # (ns,) L-slots of the corresponding L_jj
+class OpSchedule(NamedTuple):
+    """Factorization ops flattened with per-level offsets: level k's ops are
+    slice(off[k], off[k+1]) of each flat array. The three op kinds share one
+    level axis."""
+    upd_tgt: np.ndarray   # (n_upd,) L-slot receiving C_ij -= L_ik L_jk^T
+    upd_i: np.ndarray     # (n_upd,) L-slot of L_ik
+    upd_j: np.ndarray     # (n_upd,) L-slot of L_jk
+    upd_off: np.ndarray   # (nlevels + 1,)
+    fac: np.ndarray       # (n_fac,) L-slots of diagonal blocks to factor
+    fac_off: np.ndarray   # (nlevels + 1,)
+    sol_tgt: np.ndarray   # (n_sol,) L-slots of off-diagonal blocks to solve
+    sol_diag: np.ndarray  # (n_sol,) L-slots of the corresponding L_jj
+    sol_off: np.ndarray   # (nlevels + 1,)
+
+    @property
+    def nlevels(self) -> int:
+        return int(self.upd_off.shape[0]) - 1
 
 
-class SolveLevel(NamedTuple):
-    """One level of the block-triangular substitution."""
-    pair_j: np.ndarray    # (np,) destination block-row finalized this level
-    pair_k: np.ndarray    # (np,) source block-row (already final)
-    pair_slot: np.ndarray  # (np,) L-slot of the coupling block
-    diag_rows: np.ndarray  # (nd,) block-rows finalized this level
-    diag_slot: np.ndarray  # (nd,) L-slots of their diagonal blocks
+class SolveSchedule(NamedTuple):
+    """One triangular-substitution direction, flattened with offsets."""
+    pair_j: np.ndarray    # (n_pairs,) destination block-row
+    pair_k: np.ndarray    # (n_pairs,) source block-row (already final)
+    pair_slot: np.ndarray  # (n_pairs,) L-slot of the coupling block
+    pair_off: np.ndarray  # (nlevels + 1,)
+    diag_rows: np.ndarray  # (n_diag,) block-rows finalized per level
+    diag_slot: np.ndarray  # (n_diag,) L-slots of their diagonal blocks
+    diag_off: np.ndarray  # (nlevels + 1,)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -79,9 +94,9 @@ class SparseCholeskySymbolic:
     rows: np.ndarray
     cols: np.ndarray
     diag_slot_of: np.ndarray      # (nb,) slot of each diagonal block
-    levels: Tuple[LevelOps, ...]
-    fwd_levels: Tuple[SolveLevel, ...]
-    bwd_levels: Tuple[SolveLevel, ...]
+    sched: OpSchedule
+    fwd: SolveSchedule
+    bwd: SolveSchedule
     # scatter map for loading A's blocks into the filled slots:
     a_slot_of_input: np.ndarray   # (n_input_blocks,) slot per input block
     # whether each input block lands transposed (its unordered (i, j) pair
@@ -99,37 +114,54 @@ class SparseCholeskySymbolic:
         return int(self.rows.shape[0])
 
 
-def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
-            b: int = 1, ordering="mindeg") -> SparseCholeskySymbolic:
-    """Symbolic analysis of a symmetric block pattern.
+def _flatten_level_lists(per_level: List[Dict[str, list]],
+                         keys: Tuple[str, ...]) -> Tuple[np.ndarray, ...]:
+    """Concatenate per-level python lists into flat arrays + one offsets
+    array (shared across the given keys' counts... each key gets its own)."""
+    out = []
+    for key in keys:
+        flat = np.asarray(
+            [v for d in per_level for v in d[key]], np.int32)
+        off = np.zeros(len(per_level) + 1, np.int32)
+        for k, d in enumerate(per_level):
+            off[k + 1] = off[k] + len(d[key])
+        out.append((flat, off))
+    return tuple(out)
 
-    Args:
-      rows, cols: block coordinates of the stored lower triangle of JtJ
-        (i >= j), diagonal blocks required present.
-      nb: number of block rows/cols; b: block size.
-      ordering: fill-reducing ordering — "mindeg"/"amd" (default; the
-        CHOLMOD-analyze equivalent, see libdogleg_tpu.ordering), "natural",
-        or an explicit permutation array perm[k] = original block k-th in
-        elimination order.
-    """
-    rows = np.asarray(rows, np.int64)
-    cols = np.asarray(cols, np.int64)
-    assert np.all(rows >= cols), "pass the lower triangle (i >= j)"
-    n_input = rows.shape[0]
-    in_rows, in_cols = rows, cols
 
-    # --- fill-reducing permutation, then map the pattern into elimination
-    # order. An input block whose (i, j) pair flips triangles lands
-    # transposed (B at (i, j) is B^T at (j, i)).
-    from libdogleg_tpu.ordering import resolve_ordering
-    perm = resolve_ordering(ordering, rows, cols, nb)
-    iperm = np.empty(nb, np.int64)
-    iperm[perm] = np.arange(nb)
-    pi, pj = iperm[rows], iperm[cols]
-    a_transpose = pi < pj
-    rows = np.where(a_transpose, pj, pi)
-    cols = np.where(a_transpose, pi, pj)
+def _bucket_solve_schedule(nb, level_of, slot, pairs_of) -> "SolveSchedule":
+    """Build a SolveSchedule by emitting rows in ascending-j order and
+    stably bucketing by level (avoids the O(nlevels * nb) level scan)."""
+    nl = int(level_of.max()) + 1 if nb else 0
+    pj, pk, ps, p_lv = [], [], [], []
+    dr, ds, d_lv = [], [], []
+    for j in range(nb):
+        lv = int(level_of[j])
+        dr.append(j)
+        ds.append(slot[(j, j)])
+        d_lv.append(lv)
+        for k, sl in pairs_of(j):
+            pj.append(j)
+            pk.append(k)
+            ps.append(sl)
+            p_lv.append(lv)
 
+    def bucket(arrs, lv_list):
+        lv = np.asarray(lv_list, np.int64)
+        order = np.argsort(lv, kind="stable")
+        off = np.zeros(nl + 1, np.int32)
+        np.add.at(off, lv + 1, 1)
+        off = np.cumsum(off).astype(np.int32)
+        return [np.asarray(a, np.int32)[order] for a in arrs] + [off]
+
+    pj, pk, ps, poff = bucket((pj, pk, ps), p_lv)
+    dr, ds, doff = bucket((dr, ds), d_lv)
+    return SolveSchedule(pair_j=pj, pair_k=pk, pair_slot=ps, pair_off=poff,
+                         diag_rows=dr, diag_slot=ds, diag_off=doff)
+
+
+def _symbolic_python(rows: np.ndarray, cols: np.ndarray, nb: int):
+    """Pure-Python symbolic builder; same outputs as the native kernel."""
     # --- symbolic fill: column j's below-diagonal structure propagates to
     # its elimination parent (classic simplicial fill).
     colsets: List[set] = [set() for _ in range(nb)]   # i > j entries
@@ -156,11 +188,9 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
             out_cols.append(j)
 
     a_slot_of_input = np.array([slot[(int(i), int(j))]
-                                for i, j in zip(rows, cols)], np.int64)
-    diag_slot_of = np.arange(nb, dtype=np.int64)
+                                for i, j in zip(rows, cols)], np.int32)
 
     # --- operation DAG with ASAP levels.
-    fac_level = np.zeros(nb, np.int64)
     sol_level = {}
     per_level_ops: List[dict] = []
 
@@ -170,22 +200,19 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
                                   "f": [], "st": [], "sd": []})
         return per_level_ops[lv]
 
-    # ready_level[slot] = level after which the C block at `slot` has
-    # received all its updates from columns k < its column. We accumulate
-    # the max update level per target as we enumerate columns in order.
+    # upd_ready[slot] = level after which the C block at `slot` has
+    # received all its updates from columns k < its column.
     upd_ready = np.zeros(len(out_rows), np.int64)
 
     for j in range(nb):
         # FACTOR(j): after every update targeting (j, j).
-        fl = upd_ready[slot[(j, j)]]
-        fac_level[j] = fl
+        fl = int(upd_ready[slot[(j, j)]])
         level_dict(fl)["f"].append(slot[(j, j)])
 
         struct_j = sorted(colsets[j])
         # SOLVE(i, j) for each i in column j's structure.
         for i in struct_j:
-            # after FACTOR(j) and after the last update into (i, j)
-            sl = max(fl, upd_ready[slot[(i, j)]]) + 1
+            sl = max(fl, int(upd_ready[slot[(i, j)]])) + 1
             sol_level[(i, j)] = sl
             d = level_dict(sl)
             d["st"].append(slot[(i, j)])
@@ -202,14 +229,12 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
                 d["uj"].append(slot[(a, j)])
                 upd_ready[tgt] = max(upd_ready[tgt], ul)
 
-    levels = tuple(
-        LevelOps(upd_tgt=np.asarray(d["ut"], np.int64),
-                 upd_i=np.asarray(d["ui"], np.int64),
-                 upd_j=np.asarray(d["uj"], np.int64),
-                 fac=np.asarray(d["f"], np.int64),
-                 sol_tgt=np.asarray(d["st"], np.int64),
-                 sol_diag=np.asarray(d["sd"], np.int64))
-        for d in per_level_ops)
+    ((ut, uoff), (ui, _), (uj, _), (f, foff),
+     (st, soff), (sd, _)) = _flatten_level_lists(
+        per_level_ops, ("ut", "ui", "uj", "f", "st", "sd"))
+    sched = OpSchedule(upd_tgt=ut, upd_i=ui, upd_j=uj, upd_off=uoff,
+                       fac=f, fac_off=foff,
+                       sol_tgt=st, sol_diag=sd, sol_off=soff)
 
     # --- forward-substitution levels: y_j finalized after all y_k it reads.
     row_struct: List[List[int]] = [[] for _ in range(nb)]  # (j, k) k<j
@@ -220,44 +245,62 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
     for j in range(nb):
         f_level[j] = (max((f_level[k] for k in row_struct[j]), default=-1)
                       + 1)
-    fwd = []
-    for lv in range(int(f_level.max()) + 1 if nb else 0):
-        js = [j for j in range(nb) if f_level[j] == lv]
-        pj, pk, ps = [], [], []
-        for j in js:
-            for k in row_struct[j]:
-                pj.append(j)
-                pk.append(k)
-                ps.append(slot[(j, k)])
-        fwd.append(SolveLevel(
-            pair_j=np.asarray(pj, np.int64), pair_k=np.asarray(pk, np.int64),
-            pair_slot=np.asarray(ps, np.int64),
-            diag_rows=np.asarray(js, np.int64),
-            diag_slot=np.asarray([slot[(j, j)] for j in js], np.int64)))
+    fwd = _bucket_solve_schedule(
+        nb, f_level, slot,
+        pairs_of=lambda j: [(k, slot[(j, k)]) for k in row_struct[j]])
 
     # --- backward-substitution levels: x_j after all x_i with i in col j.
     b_level = np.zeros(nb, np.int64)
     for j in range(nb - 1, -1, -1):
         b_level[j] = (max((b_level[i] for i in colsets[j]), default=-1) + 1)
-    bwd = []
-    for lv in range(int(b_level.max()) + 1 if nb else 0):
-        js = [j for j in range(nb) if b_level[j] == lv]
-        pj, pk, ps = [], [], []
-        for j in js:
-            for i in sorted(colsets[j]):
-                pj.append(j)
-                pk.append(i)
-                ps.append(slot[(i, j)])
-        bwd.append(SolveLevel(
-            pair_j=np.asarray(pj, np.int64), pair_k=np.asarray(pk, np.int64),
-            pair_slot=np.asarray(ps, np.int64),
-            diag_rows=np.asarray(js, np.int64),
-            diag_slot=np.asarray([slot[(j, j)] for j in js], np.int64)))
+    bwd = _bucket_solve_schedule(
+        nb, b_level, slot,
+        pairs_of=lambda j: [(i, slot[(i, j)]) for i in sorted(colsets[j])])
+
+    return (np.asarray(out_rows, np.int32), np.asarray(out_cols, np.int32),
+            a_slot_of_input, sched, fwd, bwd)
+
+
+def analyze(rows: np.ndarray, cols: np.ndarray, nb: int,
+            b: int = 1, ordering="mindeg") -> SparseCholeskySymbolic:
+    """Symbolic analysis of a symmetric block pattern.
+
+    Args:
+      rows, cols: block coordinates of the stored lower triangle of JtJ
+        (i >= j), diagonal blocks required present.
+      nb: number of block rows/cols; b: block size.
+      ordering: fill-reducing ordering — "mindeg"/"amd" (default; the
+        CHOLMOD-analyze equivalent, see libdogleg_tpu.ordering), "natural",
+        or an explicit permutation array perm[k] = original block k-th in
+        elimination order.
+    """
+    rows = np.asarray(rows, np.int64)
+    cols = np.asarray(cols, np.int64)
+    assert np.all(rows >= cols), "pass the lower triangle (i >= j)"
+    in_rows, in_cols = rows, cols
+
+    # --- fill-reducing permutation, then map the pattern into elimination
+    # order. An input block whose (i, j) pair flips triangles lands
+    # transposed (B at (i, j) is B^T at (j, i)).
+    from libdogleg_tpu.ordering import resolve_ordering
+    perm = resolve_ordering(ordering, rows, cols, nb)
+    iperm = np.empty(nb, np.int64)
+    iperm[perm] = np.arange(nb)
+    pi, pj = iperm[rows], iperm[cols]
+    a_transpose = pi < pj
+    rows = np.where(a_transpose, pj, pi)
+    cols = np.where(a_transpose, pi, pj)
+
+    from libdogleg_tpu.native.symbolic import chol_symbolic_native
+    built = chol_symbolic_native(rows, cols, nb)
+    if built is None:
+        built = _symbolic_python(rows, cols, nb)
+    out_rows, out_cols, a_slot_of_input, sched, fwd, bwd = built
 
     return SparseCholeskySymbolic(
-        nb=nb, b=b, rows=np.asarray(out_rows, np.int64),
-        cols=np.asarray(out_cols, np.int64), diag_slot_of=diag_slot_of,
-        levels=levels, fwd_levels=tuple(fwd), bwd_levels=tuple(bwd),
+        nb=nb, b=b, rows=out_rows, cols=out_cols,
+        diag_slot_of=np.arange(nb, dtype=np.int64),
+        sched=sched, fwd=fwd, bwd=bwd,
         a_slot_of_input=a_slot_of_input, a_transpose=a_transpose,
         perm=perm.astype(np.int64), in_rows=in_rows, in_cols=in_cols)
 
@@ -278,53 +321,39 @@ def _chol_blocks(blocks):
     return L, ok
 
 
-def _pad_levels(levels: Tuple[LevelOps, ...], nslots: int):
-    """Stack the per-level op lists into rectangular (n_levels, max_k)
-    tensors so the numeric phase is one lax.scan instead of an unrolled
-    program (compile time O(1) in elimination-tree depth). Padding ops
-    target a trash slot (index nslots) and are masked where they matter."""
-    nl = len(levels)
-    mu = max((lv.upd_tgt.size for lv in levels), default=0) or 1
-    mf = max((lv.fac.size for lv in levels), default=0) or 1
-    ms = max((lv.sol_tgt.size for lv in levels), default=0) or 1
+def _pad(flat: np.ndarray, off: np.ndarray, fill: int) -> np.ndarray:
+    """Stack flat+offsets into a rectangular (nlevels, max_width) int32
+    array so the numeric phase is one lax.scan instead of an unrolled
+    program. Padding entries hold `fill` (a trash slot/row index)."""
+    nl = off.shape[0] - 1
+    counts = np.diff(off)
+    width = max(int(counts.max(initial=0)), 1)
+    out = np.full((nl, width), fill, np.int32)
+    mask = np.arange(width)[None, :] < counts[:, None]
+    out[mask] = flat
+    return out
 
-    def pad(arr, width, fill):
-        out = np.full((nl, width), fill, np.int32)
-        return out
 
-    upd_tgt = pad(None, mu, nslots)
-    upd_i = pad(None, mu, 0)
-    upd_j = pad(None, mu, 0)
-    fac = pad(None, mf, nslots)
-    fac_valid = np.zeros((nl, mf), bool)
-    sol_tgt = pad(None, ms, nslots)
-    sol_diag = pad(None, ms, 0)
-    for k, lv in enumerate(levels):
-        upd_tgt[k, :lv.upd_tgt.size] = lv.upd_tgt
-        upd_i[k, :lv.upd_i.size] = lv.upd_i
-        upd_j[k, :lv.upd_j.size] = lv.upd_j
-        fac[k, :lv.fac.size] = lv.fac
-        fac_valid[k, :lv.fac.size] = True
-        sol_tgt[k, :lv.sol_tgt.size] = lv.sol_tgt
-        sol_diag[k, :lv.sol_diag.size] = lv.sol_diag
+def _pad_levels(sched: OpSchedule, nslots: int):
+    """Rectangular (nlevels, max_k) tensors for the factorization scan.
+    Padding ops target a trash slot (index nslots) and are masked where they
+    matter. Vectorized numpy — O(total ops), no Python per-level loop."""
+    upd_tgt = _pad(sched.upd_tgt, sched.upd_off, nslots)
+    upd_i = _pad(sched.upd_i, sched.upd_off, 0)
+    upd_j = _pad(sched.upd_j, sched.upd_off, 0)
+    fac = _pad(sched.fac, sched.fac_off, nslots)
+    fac_valid = fac != nslots
+    sol_tgt = _pad(sched.sol_tgt, sched.sol_off, nslots)
+    sol_diag = _pad(sched.sol_diag, sched.sol_off, 0)
     return (upd_tgt, upd_i, upd_j, fac, fac_valid, sol_tgt, sol_diag)
 
 
-def _pad_solve_levels(levels: Tuple[SolveLevel, ...], nb: int):
-    nl = len(levels)
-    mp = max((lv.pair_j.size for lv in levels), default=0) or 1
-    md = max((lv.diag_rows.size for lv in levels), default=0) or 1
-    pair_j = np.full((nl, mp), nb, np.int32)     # trash row
-    pair_k = np.zeros((nl, mp), np.int32)
-    pair_slot = np.zeros((nl, mp), np.int32)
-    diag_rows = np.full((nl, md), nb, np.int32)  # trash row
-    diag_slot = np.zeros((nl, md), np.int32)
-    for k, lv in enumerate(levels):
-        pair_j[k, :lv.pair_j.size] = lv.pair_j
-        pair_k[k, :lv.pair_k.size] = lv.pair_k
-        pair_slot[k, :lv.pair_slot.size] = lv.pair_slot
-        diag_rows[k, :lv.diag_rows.size] = lv.diag_rows
-        diag_slot[k, :lv.diag_slot.size] = lv.diag_slot
+def _pad_solve_levels(ss: SolveSchedule, nb: int):
+    pair_j = _pad(ss.pair_j, ss.pair_off, nb)       # trash row
+    pair_k = _pad(ss.pair_k, ss.pair_off, 0)
+    pair_slot = _pad(ss.pair_slot, ss.pair_off, 0)
+    diag_rows = _pad(ss.diag_rows, ss.diag_off, nb)  # trash row
+    diag_slot = _pad(ss.diag_slot, ss.diag_off, 0)
     return (pair_j, pair_k, pair_slot, diag_rows, diag_slot)
 
 
@@ -358,7 +387,7 @@ def factorize(sym: SparseCholeskySymbolic,
 
     (upd_tgt, upd_i, upd_j, fac, fac_valid,
      sol_tgt, sol_diag) = (jnp.asarray(a)
-                           for a in _pad_levels(sym.levels, sym.nslots))
+                           for a in _pad_levels(sym.sched, sym.nslots))
 
     def level_step(carry, xs):
         vals, ok = carry
@@ -402,9 +431,9 @@ def solve(sym: SparseCholeskySymbolic,
             transpose_a=transpose)
         return out[..., 0]
 
-    def phase(y, levels, transpose, transpose_coupling):
+    def phase(y, ss, transpose, transpose_coupling):
         xs = tuple(jnp.asarray(a)
-                   for a in _pad_solve_levels(levels, sym.nb))
+                   for a in _pad_solve_levels(ss, sym.nb))
 
         def step(y, lev):
             pj, pk, ps, dr, ds = lev
@@ -423,8 +452,8 @@ def solve(sym: SparseCholeskySymbolic,
         y, _ = jax.lax.scan(step, y, xs)
         return y
 
-    y = phase(y, sym.fwd_levels, transpose=False, transpose_coupling=False)
-    y = phase(y, sym.bwd_levels, transpose=True, transpose_coupling=True)
+    y = phase(y, sym.fwd, transpose=False, transpose_coupling=False)
+    y = phase(y, sym.bwd, transpose=True, transpose_coupling=True)
     # un-permute: original block perm[j] holds permuted solution block j
     out = jnp.zeros((sym.nb, b), dtype).at[perm].set(y[:sym.nb])
     return out.reshape(sym.nb * b)

@@ -116,6 +116,32 @@ def test_mindeg_kills_arrow_fill():
                                rtol=1e-8, atol=1e-10)
 
 
+def test_symbolic_native_matches_python_builder(monkeypatch):
+    """The C++ symbolic builder (csrc/chol_symbolic.cpp) and the pure-Python
+    fallback must produce bit-identical schedules."""
+    from libdogleg_tpu.native.loader import native_available
+    if not native_available():
+        pytest.skip("native library unavailable")
+    dense, blocks, rows, cols = _random_spd_pattern(9, 14, 2, 30)
+    nat = sc.analyze(rows, cols, 14, 2, ordering="mindeg")
+    import libdogleg_tpu.native.symbolic as nsym
+    monkeypatch.setattr(nsym, "chol_symbolic_native",
+                        lambda *a, **k: None)
+    py = sc.analyze(rows, cols, 14, 2, ordering="mindeg")
+    np.testing.assert_array_equal(nat.rows, py.rows)
+    np.testing.assert_array_equal(nat.cols, py.cols)
+    np.testing.assert_array_equal(nat.a_slot_of_input, py.a_slot_of_input)
+    for field in sc.OpSchedule._fields:
+        np.testing.assert_array_equal(getattr(nat.sched, field),
+                                      getattr(py.sched, field), err_msg=field)
+    for phase in ("fwd", "bwd"):
+        for field in sc.SolveSchedule._fields:
+            np.testing.assert_array_equal(
+                getattr(getattr(nat, phase), field),
+                getattr(getattr(py, phase), field),
+                err_msg=f"{phase}.{field}")
+
+
 def test_mindeg_native_matches_python_fallback():
     from libdogleg_tpu import ordering as od
     from libdogleg_tpu.native.loader import native_available
