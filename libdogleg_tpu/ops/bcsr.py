@@ -118,6 +118,50 @@ def bcsr_matvec(J: BCSRJacobian, v: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(s.nmeas)
 
 
+class JtJLowerSchedule(NamedTuple):
+    """Static schedule for forming the lower triangle of J^T J as
+    block-sparse values in the input layout of sparse_cholesky.analyze:
+    block k of the output holds JtJ[rows[k], cols[k]] (block coords,
+    rows >= cols). The one-time symbolic artifact for the large-Nstate
+    sparse path (the other half of the reference's cholmod_analyze,
+    dogleg.c:649-654)."""
+    rows: np.ndarray      # (nnzb_jtj,) output block-row (state) coords
+    cols: np.ndarray      # (nnzb_jtj,) output block-col, rows >= cols
+    pair_i: np.ndarray    # (npairs,) index into J.values
+    pair_j: np.ndarray    # (npairs,) index into J.values
+    out_idx: np.ndarray   # (npairs,) output block per pair
+
+
+def jtj_lower_schedule(s: BCSRStructure) -> JtJLowerSchedule:
+    """Lower-triangle JtJ block pattern + pair schedule for `s` (native
+    C++ fast path via build_jtj_schedule; filtered to rows >= cols)."""
+    from libdogleg_tpu.ops.pallas_bcsr import build_jtj_schedule
+    sch = build_jtj_schedule(s)
+    keep_block = sch.out_ci >= sch.out_cj
+    new_id = np.cumsum(keep_block) - 1
+    keep_pair = keep_block[sch.out_idx]
+    return JtJLowerSchedule(
+        rows=sch.out_ci[keep_block].astype(np.int64),
+        cols=sch.out_cj[keep_block].astype(np.int64),
+        pair_i=sch.pair_i[keep_pair],
+        pair_j=sch.pair_j[keep_pair],
+        out_idx=new_id[sch.out_idx[keep_pair]].astype(np.int32))
+
+
+def bcsr_jtj_lower_blocks(J: BCSRJacobian,
+                          sched: JtJLowerSchedule) -> jnp.ndarray:
+    """The stored lower-triangle blocks of J^T J: (nnzb_jtj, bn, bn) in the
+    schedule's (rows, cols) order — the direct input of
+    sparse_cholesky.factorize. One batched MXU contraction + one
+    segment-sum; JtJ never densifies."""
+    pi = jnp.asarray(sched.pair_i)
+    pj = jnp.asarray(sched.pair_j)
+    contrib = jnp.einsum('pmi,pmj->pij', J.values[pi], J.values[pj],
+                         preferred_element_type=J.values.dtype)
+    return jax.ops.segment_sum(contrib, jnp.asarray(sched.out_idx),
+                               num_segments=int(sched.rows.shape[0]))
+
+
 def bcsr_jtj_dense(J: BCSRJacobian) -> jnp.ndarray:
     """J^T J as a dense (nstate, nstate) matrix, formed block-by-block.
 

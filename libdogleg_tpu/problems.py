@@ -54,9 +54,42 @@ class SparseProblem:
     """Block-sparse formulation: f(p) -> (x, values) where values is the
     (nnzb, bm, bn) block-value tensor for the fixed `structure`
     (reference dogleg_callback_t, dogleg.h:11-20, with the static BCSR
-    structure playing the role of the one-time symbolic analysis)."""
+    structure playing the role of the one-time symbolic analysis).
+
+    jtj selects the Gauss-Newton system representation:
+      "dense"  (default): JtJ materializes as (nstate, nstate) — right while
+        nstate is moderate (one dense Cholesky on the MXU beats any sparse
+        schedule there).
+      "sparse": JtJ stays block-sparse on its symbolic lower-triangle
+        pattern and the Newton step runs through the level-scheduled
+        block-sparse Cholesky (the CHOLMOD regime, for large nstate).
+        `ordering` is the fill-reducing ordering passed to the analysis.
+    Pass `default_newton_solver()` to the solver (optimize() does this
+    automatically when no newton_solver is given)."""
     f: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
     structure: BCSRStructure
+    jtj: str = "dense"
+    ordering: object = "mindeg"
+    _jtj_sched: object = dataclasses.field(init=False, default=None,
+                                           repr=False, compare=False)
+    _newton: object = dataclasses.field(init=False, default=None,
+                                        repr=False, compare=False)
+
+    def __post_init__(self):
+        if self.jtj not in ("dense", "sparse"):
+            raise ValueError(f"jtj must be 'dense' or 'sparse', "
+                             f"got {self.jtj!r}")
+        if self.jtj == "sparse":
+            from libdogleg_tpu.ops.newton import SparseNewtonSolver
+            s = self.structure
+            if s.block_rows > 1 and s.nmeas % s.block_rows:
+                raise ValueError("nmeas must divide into block rows")
+            sched = bops.jtj_lower_schedule(s)
+            ns = SparseNewtonSolver.analyze(
+                sched.rows, sched.cols, s.nbcol, s.block_cols,
+                self.ordering)
+            object.__setattr__(self, "_jtj_sched", sched)
+            object.__setattr__(self, "_newton", ns)
 
     def jacobian(self, p: jnp.ndarray) -> Tuple[jnp.ndarray, BCSRJacobian]:
         x, values = self.f(p)
@@ -64,9 +97,16 @@ class SparseProblem:
 
     def products(self, p: jnp.ndarray) -> Products:
         x, J = self.jacobian(p)
+        if self.jtj == "sparse":
+            JtJ = bops.bcsr_jtj_lower_blocks(J, self._jtj_sched)
+        else:
+            JtJ = bops.bcsr_jtj_dense(J)
         return Products(norm2_x=dops.norm2(x),
                         Jt_x=bops.bcsr_jt_x(J, x),
-                        JtJ=bops.bcsr_jtj_dense(J))
+                        JtJ=JtJ)
+
+    def default_newton_solver(self):
+        return self._newton  # None for "dense" -> solver default
 
     def full(self, p: jnp.ndarray):
         x, J = self.jacobian(p)
@@ -130,6 +170,10 @@ def optimize(problem,
     (and over closed-over problem data via the adapters' pytree fields) for
     batched solves.
     """
+    if newton_solver is None:
+        default = getattr(problem, "default_newton_solver", None)
+        if default is not None:
+            newton_solver = default()
     return solve_products(problem.products, p0, parameters,
                           newton_solver=newton_solver,
                           record_history=record_history,

@@ -73,3 +73,73 @@ def test_dense_structure_stores_everything():
     s = dense_structure(8, 6, block_rows=4, block_cols=3)
     assert s.nnzb == 2 * 2
     assert s.nbrow == 2 and s.nbcol == 2
+
+
+def test_jtj_lower_blocks_match_dense():
+    """The block-sparse lower-triangle JtJ equals the lower blocks of the
+    dense JtJ oracle, in the schedule's (rows, cols) order."""
+    J = _random_block_sparse(5)
+    s = J.structure
+    sched = bops.jtj_lower_schedule(s)
+    blocks = np.asarray(bops.bcsr_jtj_lower_blocks(J, sched))
+    dense = np.asarray(bops.bcsr_to_dense(J))
+    JtJ = dense.T @ dense
+    bn = s.block_cols
+    assert np.all(sched.rows >= sched.cols)
+    for k in range(sched.rows.shape[0]):
+        i, j = int(sched.rows[k]), int(sched.cols[k])
+        np.testing.assert_allclose(
+            blocks[k], JtJ[i * bn:(i + 1) * bn, j * bn:(j + 1) * bn],
+            rtol=1e-12, atol=1e-12)
+
+
+def test_sparse_jtj_mode_end_to_end():
+    """SparseProblem(jtj='sparse') — block-sparse JtJ through the
+    level-scheduled Cholesky — takes the same trajectory as jtj='dense' on a
+    nonlinear block-banded problem."""
+    import jax
+    from libdogleg_tpu import DoglegParameters, optimize
+    from libdogleg_tpu.problems import SparseProblem
+
+    nbcol, bn, bm = 6, 2, 4
+    nstate = nbcol * bn
+    nbrow = nbcol
+    nmeas = nbrow * bm
+    rng = np.random.default_rng(8)
+    # block-banded M: blocks (r, r) and (r, r+1)
+    indptr, indices, mblocks = [0], [], []
+    for r in range(nbrow):
+        cols = [r] + ([r + 1] if r + 1 < nbcol else [])
+        indices.extend(cols)
+        indptr.append(len(indices))
+        for _ in cols:
+            mblocks.append(rng.normal(size=(bm, bn)))
+    s = bops.BCSRStructure(nmeas=nmeas, nstate=nstate, block_rows=bm,
+                           block_cols=bn,
+                           indptr=np.asarray(indptr, np.int32),
+                           indices=np.asarray(indices, np.int32))
+    M = jnp.asarray(np.stack(mblocks))
+    col_of_block = jnp.asarray(s.indices)
+    target = jnp.asarray(rng.normal(size=(nmeas,)))
+
+    M_dense = jnp.asarray(np.asarray(
+        bops.bcsr_to_dense(bops.BCSRJacobian(structure=s, values=M))))
+
+    def f2(p):
+        # residuals M g(p) - target with g elementwise nonlinear;
+        # J blocks = M_block * g'(p segment) broadcast over block rows
+        g = p + 0.3 * jnp.sin(p)
+        gp = (1.0 + 0.3 * jnp.cos(p)).reshape(nbcol, bn)
+        x = M_dense @ g - target
+        values = M * gp[col_of_block][:, None, :]
+        return x, values
+
+    prm = DoglegParameters()
+    p0 = jnp.asarray(rng.normal(size=(nstate,)) * 0.5)
+    r_dense = optimize(SparseProblem(f=f2, structure=s), p0, prm)
+    r_sparse = jax.jit(lambda q: optimize(
+        SparseProblem(f=f2, structure=s, jtj="sparse"), q, prm))(p0)
+    assert int(r_sparse.step_count) == int(r_dense.step_count)
+    np.testing.assert_allclose(np.asarray(r_sparse.p),
+                               np.asarray(r_dense.p), rtol=1e-8, atol=1e-9)
+    assert float(jnp.max(jnp.abs(r_sparse.Jt_x))) < 1e-7
