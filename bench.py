@@ -7,13 +7,18 @@ batched solves/s (BASELINE.json north star, stated for a v5p-8 host); this
 runs on however many chips are visible (typically one) and reports
 vs_baseline against the 1e4 target.
 
+Timing uses utils.benchtime.measure_loop: serially-dependent in-jit
+repetitions ended by a dependent host fetch, differenced across two rep
+counts. On this environment's tunneled TPU backend, block_until_ready is
+NOT a completion barrier and unfetched dispatches can be elided, so naive
+wall-clock timing measures dispatch, not compute.
+
 Prints exactly one JSON line:
   {"metric": ..., "value": N, "unit": "solves/s", "vs_baseline": N/1e4}
 """
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -22,9 +27,9 @@ import numpy as np
 import libdogleg_tpu.sample_problem as sp
 from libdogleg_tpu import DoglegParameters
 from libdogleg_tpu.solver import Products, solve_products
+from libdogleg_tpu.utils.benchtime import measure_loop
 
 BATCH = 8192
-REPS = 3
 BASELINE_SOLVES_PER_S = 1.0e4
 
 
@@ -52,6 +57,10 @@ def main():
 
     solve_batch = jax.jit(jax.vmap(solve_one))
 
+    def solve_one_batch(p0s, meas_batch):
+        p, steps, reason = jax.vmap(solve_one)(p0s, meas_batch)
+        return p, steps.astype(jnp.float32)
+
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     meas_batch = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
@@ -68,13 +77,10 @@ def main():
                           "error": f"correctness gate failed: {frac_ok:.3f}"}))
         sys.exit(1)
 
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = solve_batch(p0s, meas_batch)
-    jax.block_until_ready(out)
-    dt = time.perf_counter() - t0
+    dt = measure_loop(lambda q, m: solve_one_batch(q, m),
+                      p0s, meas_batch)
 
-    solves_per_s = BATCH * REPS / dt
+    solves_per_s = BATCH / dt
     print(json.dumps({
         "metric": "batched_dogleg_solves_per_s",
         "value": round(solves_per_s, 2),
@@ -82,7 +88,7 @@ def main():
         "vs_baseline": round(solves_per_s / BASELINE_SOLVES_PER_S, 4),
     }))
     print(f"# devices={jax.device_count()} backend={jax.default_backend()} "
-          f"batch={BATCH} reps={REPS} dt={dt:.3f}s "
+          f"batch={BATCH} dt_per_batch={dt*1e3:.1f}ms "
           f"mean_steps={float(np.mean(np.asarray(steps))):.2f} "
           f"recovered={frac_ok:.4f}", file=sys.stderr)
 

@@ -12,7 +12,6 @@ Runs on whatever backend the environment provides (the tunneled TPU here).
 """
 
 import json
-import time
 
 import jax
 import jax.numpy as jnp
@@ -24,19 +23,19 @@ from libdogleg_tpu.analysis import get_outlierness_factors
 from libdogleg_tpu.models import bundle_adjustment, curve_fit
 from libdogleg_tpu.ops.cholesky import factorize_jtj
 from libdogleg_tpu.solver import Products, solve_products
+from libdogleg_tpu.utils.benchtime import fetch, measure_loop
 
 DTYPE = jnp.float32
 PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
                        update_threshold=1e-5, trustregion_threshold=1e-5)
 
 
-def timeit(fn, *args, reps=10):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / reps, out
+def timeit(fn, *args, reps=None):
+    """(per-call device seconds, one real output). Dependent-loop timing —
+    see utils.benchtime for why naive wall-clock is wrong here."""
+    out = fn(*args)
+    fetch(out)
+    return measure_loop(fn, *args), out
 
 
 def emit(config, metric, value, unit, **extra):
