@@ -1,5 +1,6 @@
 from libdogleg_tpu.analysis.gradients import (check_gradients,
                                               check_gradients_autodiff,
+                                              check_gradients_products,
                                               format_gradient_table)
 from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
                                                 get_outlierness_scale,
@@ -11,6 +12,7 @@ from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
 __all__ = [
     "check_gradients",
     "check_gradients_autodiff",
+    "check_gradients_products",
     "format_gradient_table",
     "get_outlierness_factors",
     "get_outlierness_scale",
