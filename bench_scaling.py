@@ -1,0 +1,124 @@
+"""Scaling-efficiency benchmark: batched solves across a device mesh.
+
+BASELINE.md asks for >= 80% iterations/s scaling efficiency from 1 chip to
+1 host to 2+ hosts. Two modes:
+
+  * real hardware (SCALING_REAL=1 on a pod slice): weak scaling — batch
+    grows with the mesh; efficiency(N) = tput(N) / (N * tput(1)).
+  * this environment (single tunneled chip): the N virtual CPU devices
+    share the same cores, so throughput CANNOT grow with N — instead the
+    meaningful number is *partitioning overhead*: with the total batch
+    fixed, tput(N)/tput(1) should stay ~1.0 if the sharded program has no
+    hidden cross-device serialization or communication (the solves are
+    independent). That retention fraction is what the 0.8 gate checks.
+
+Prints one JSON line per mesh size plus a final efficiency line.
+"""
+
+import json
+import os
+import sys
+
+N_DEVICES = int(os.environ.get("SCALING_DEVICES", "8"))
+
+if "xla_force_host_platform_device_count" not in os.environ.get(
+        "XLA_FLAGS", ""):
+    os.environ["XLA_FLAGS"] = (
+        os.environ.get("XLA_FLAGS", "")
+        + f" --xla_force_host_platform_device_count={N_DEVICES}").strip()
+
+# The platform must be chosen BEFORE the first backend query (a config
+# update after initialization is ignored). The axon env pins a single
+# tunneled chip, so scaling falls back to the virtual CPU mesh there;
+# SCALING_REAL=1 forces whatever the environment provides (pod slices).
+import jax  # noqa: E402
+
+if (os.environ.get("SCALING_REAL") != "1"
+        and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    jax.config.update("jax_platforms", "cpu")
+
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+import libdogleg_tpu.models.quadratic_surface as sp  # noqa: E402
+from libdogleg_tpu import DoglegParameters  # noqa: E402
+from libdogleg_tpu.parallel import (batched_optimize, make_mesh,  # noqa: E402
+                                    shard_batch)
+from libdogleg_tpu.solver import Products  # noqa: E402
+from libdogleg_tpu.utils.benchtime import measure_loop  # noqa: E402
+
+REAL = os.environ.get("SCALING_REAL") == "1"
+PER_DEVICE_BATCH = 512
+TOTAL_BATCH = 4096          # fixed-work mode (virtual mesh)
+DTYPE = jnp.float32
+PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                       update_threshold=1e-5, trustregion_threshold=1e-5)
+
+
+def make_batch(batch):
+    gx, gy = sp.make_grid(DTYPE)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    return products, p0s, meas
+
+
+def throughput(n_dev):
+    batch = PER_DEVICE_BATCH * n_dev if REAL else TOTAL_BATCH
+    products, p0s, meas = make_batch(batch)
+    mesh = make_mesh(("dp",), shape=(n_dev,))
+    p0s, meas = shard_batch((p0s, meas), mesh)
+
+    def run(p0s, meas):
+        r = batched_optimize(products, p0s, PRM, mesh=mesh,
+                             problem_data=meas)
+        return r.p, r.step_count.astype(jnp.float32)
+
+    dt = measure_loop(run, p0s, meas)
+    return batch / dt
+
+
+def main():
+    devs = [1]
+    n = 2
+    while n <= min(N_DEVICES, jax.device_count()):
+        devs.append(n)
+        n *= 2
+    base = None
+    effs = {}
+    for n_dev in devs:
+        tput = throughput(n_dev)
+        if base is None:
+            base = tput
+        eff = tput / ((n_dev * base) if REAL else base)
+        effs[n_dev] = eff
+        print(json.dumps({
+            "metric": "scaling_batched_solves_per_s",
+            "devices": n_dev, "value": round(tput, 1),
+            "unit": "solves/s",
+            "batch": PER_DEVICE_BATCH * n_dev if REAL else TOTAL_BATCH,
+            ("efficiency" if REAL else "retention"): round(eff, 3),
+            "backend": jax.default_backend()}))
+    worst = min(e for n, e in effs.items() if n > 1) if len(effs) > 1 else 1.0
+    print(json.dumps({
+        "metric": ("scaling_efficiency_worst" if REAL
+                   else "partitioning_retention_worst"),
+        "value": round(worst, 3), "unit": "fraction",
+        "target": 0.8, "passes": bool(worst >= 0.8),
+        "note": ("real device mesh, weak scaling" if REAL else
+                 "fixed total work on a shared-core virtual mesh; measures "
+                 "partitioning overhead, not hardware scaling (single real "
+                 "chip in this environment)")}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
