@@ -475,9 +475,11 @@ def run_solver(products_fn: ProductsFn,
                           jnp.degrees(jnp.arccos(jnp.clip(cos_dc, -1., 1.)))))
             dc_deg = jnp.where(c.have_prev_step, dc_deg, inf)
 
-            # GN/interp lengths are only known along the paths that computed
-            # them this attempt or earlier (reference leaves them '-').
-            len_gn = jnp.where(have_gn, jnp.sqrt(norm2_gn), inf)
+            # The reference records the GN length whenever compute_updateGN
+            # is *called* (the non-Cauchy path, cached or not;
+            # dogleg.c:904-905) and leaves it '-' on Cauchy attempts even
+            # when a cached GN step exists.
+            len_gn = jnp.where(~use_cauchy, jnp.sqrt(norm2_gn), inf)
             len_interp = jnp.where((~use_cauchy) & (~use_gn),
                                    jnp.sqrt(interp.norm2_step), inf)
             k_c2g = jnp.where((~use_cauchy) & (~use_gn), interp.k, inf)
@@ -491,8 +493,10 @@ def run_solver(products_fn: ProductsFn,
                                                  jnp.asarray(val, buf.dtype)))
             hist = History(
                 iteration=put(c.history.iteration, c.step_count),
+                # the small-step termination row is recorded as accepted,
+                # matching the reference's emit at dogleg.c:1404-1406
                 step_accepted=put(c.history.step_accepted,
-                                  (accept & ~small_step).astype(jnp.int32)),
+                                  (accept | small_step).astype(jnp.int32)),
                 norm2x_before=put(c.history.norm2x_before, c.norm2_x),
                 norm2x_after=put(c.history.norm2x_after, rec_after),
                 step_len_cauchy=put(c.history.step_len_cauchy,
