@@ -86,17 +86,37 @@ def our_vnlog_rows(mode):
     import libdogleg_tpu.models.quadratic_surface as qs
     from libdogleg_tpu import DoglegParameters, optimize
     from libdogleg_tpu.diagnostics import format_vnlog
+    from libdogleg_tpu.solver import solve_products
 
     noise, p0 = glibc_problem()
     gx, gy = qs.make_grid(jnp.float64)
     meas = qs.model(jnp.asarray(qs.P_TRUE), gx, gy) + jnp.asarray(noise)
     prm = DoglegParameters(max_iterations=8)
-    if mode == "dense":
-        problem = qs.make_dense_problem(meas)
+    if mode == "sharded":
+        # the measurement-sharded path on the 8-virtual-device mesh: the
+        # row-block psum of (norm2x, Jt_x, JtJ) must take the SAME
+        # decisions as the reference's single-threaded C
+        from libdogleg_tpu.parallel import (MeasurementShardedProblem,
+                                            make_mesh)
+        mesh = make_mesh(("meas",), shape=(4,))
+
+        def f_shard(p, data):
+            gx_s, gy_s, m_s = data
+            return (qs.model(p, gx_s, gy_s) - m_s,
+                    qs.jacobian(p, gx_s, gy_s))
+
+        sharded = MeasurementShardedProblem(
+            f=f_shard, data=(gx, gy, meas), mesh=mesh, axis_name="meas")
+        r = jax.jit(lambda q: solve_products(
+            sharded.products, q, prm,
+            record_history=True))(jnp.asarray(p0))
     else:
-        problem = qs.make_products_problem(meas)
-    r = jax.jit(lambda q: optimize(problem, q, prm,
-                                   record_history=True))(jnp.asarray(p0))
+        problem = {"dense": qs.make_dense_problem,
+                   "sparse": qs.make_sparse_problem,
+                   "residual": qs.make_residual_problem,
+                   "products": qs.make_products_problem}[mode](meas)
+        r = jax.jit(lambda q: optimize(problem, q, prm,
+                                       record_history=True))(jnp.asarray(p0))
     text = format_vnlog(r.history, r.n_attempts)
     rows = [l.split() for l in text.splitlines()[1:] if l.strip()]
     return rows, r
@@ -105,6 +125,11 @@ def our_vnlog_rows(mode):
 @pytest.mark.parametrize("ref_mode,our_mode", [
     ("dense", "dense"),
     ("dense-products-unpacked", "products"),
+    # modes with no buildable reference counterpart here, diffed against
+    # the reference's dense trace (same problem, same math):
+    ("dense", "sparse"),      # block-CSR products path
+    ("dense", "residual"),    # autodiff-Jacobian path
+    ("dense", "sharded"),     # measurement-sharded psum path, 4-device mesh
 ])
 def test_vnlog_trace_parity(oracle, ref_mode, our_mode):
     """Every attempt in the solve takes the same decision with the same
