@@ -136,6 +136,10 @@ def test_vnlog_trace_parity(oracle, ref_mode, our_mode):
     numbers as the compiled C reference."""
     ref_rows = run_oracle_vnlog(oracle, ref_mode)
     our_rows, result = our_vnlog_rows(our_mode)
+    assert_traces_match(ref_rows, our_rows)
+
+
+def assert_traces_match(ref_rows, our_rows, rel=2e-5):
     assert len(ref_rows) == len(our_rows), (
         f"attempt counts differ: ref {len(ref_rows)} vs ours "
         f"{len(our_rows)}")
@@ -145,6 +149,10 @@ def test_vnlog_trace_parity(oracle, ref_mode, our_mode):
         # iteration + accepted: exact
         assert ref[0] == ours[0], f"row {n}: iteration"
         assert ref[1] == ours[1], f"row {n}: step_accepted"
+        vals = dict(zip(FIELDS, ref[2:]))
+        norm2x = float(vals["norm2x_before"])
+        obs = vals["observed_improvement"]
+        obs = abs(float(obs)) if obs != "-" else 0.0
         for k, name in enumerate(FIELDS):
             if name in skip:
                 continue
@@ -156,8 +164,17 @@ def test_vnlog_trace_parity(oracle, ref_mode, our_mode):
                 assert a == b, f"row {n}: {name} set-ness {a} vs {b}"
                 continue
             fa, fb = float(a), float(b)
-            # %g prints 6 significant digits; compare at that resolution
-            assert fa == pytest.approx(fb, rel=2e-5, abs=1e-11), (
+            # observed_improvement is a difference of two norm2x values,
+            # each accurate to ~rel of norm2x: near convergence the
+            # cancellation amplifies ulp-level libm differences, so those
+            # two fields get a tolerance scaled by the cancellation factor
+            # (decisions are still required to match exactly above).
+            eff_rel = rel
+            if name == "observed_improvement" and obs > 0:
+                eff_rel = rel * max(1.0, 4.0 * norm2x / obs)
+            elif name == "rho" and obs > 0:
+                eff_rel = rel * max(1.0, 4.0 * norm2x / obs)
+            assert fa == pytest.approx(fb, rel=eff_rel, abs=1e-11), (
                 f"row {n}: {name} {a} vs {b}")
 
 
