@@ -173,3 +173,257 @@ def test_random_dense_trace_parity(libref, seed, nstate, nmeas):
     assert norm2_ref >= 0
     np.testing.assert_allclose(np.asarray(result.p), p_ref,
                                rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# dense-products mode: the callback hands (norm2x, Jt_x, JtJ) to the solver,
+# in the packed-upper or unpacked JtJ layouts (reference dogleg.h:34-45,
+# 121-132); ours goes through utils.packed for the packed spelling.
+
+PRODUCTS_CB = ctypes.CFUNCTYPE(None, ctypes.POINTER(ctypes.c_double),
+                               ctypes.POINTER(ctypes.c_double),
+                               ctypes.POINTER(ctypes.c_double),
+                               ctypes.POINTER(ctypes.c_double),
+                               ctypes.c_void_p)
+
+
+def run_reference_products(lib, residuals, jacobian, p0, nmeas, packed,
+                           upper):
+    nstate = p0.shape[0]
+    lib.dogleg_optimize_dense_products.restype = ctypes.c_double
+    lib.dogleg_optimize_dense_products.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint, PRODUCTS_CB,
+        ctypes.c_void_p, ctypes.POINTER(DoglegParameters2), ctypes.c_void_p]
+
+    @PRODUCTS_CB
+    def cb(p_ptr, norm2x_ptr, Jt_x_ptr, JtJ_ptr, cookie):
+        p = np.ctypeslib.as_array(p_ptr, (nstate,)).copy()
+        x = residuals(p)
+        J = jacobian(p)
+        norm2x_ptr[0] = float(x @ x)
+        np.ctypeslib.as_array(Jt_x_ptr, (nstate,))[:] = J.T @ x
+        JtJ = J.T @ J
+        if packed:
+            # the reference's packed-upper spelling is row-major over the
+            # upper triangle: [A B C D E F] for [[A,B,C],[B,D,E],[C,E,F]]
+            # (dogleg.h:122-127)
+            vals = np.concatenate(
+                [JtJ[i, i:] for i in range(nstate)]) if upper else \
+                np.concatenate([JtJ[i, :i + 1] for i in range(nstate)])
+            np.ctypeslib.as_array(
+                JtJ_ptr, (vals.shape[0],))[:] = vals
+        else:
+            np.ctypeslib.as_array(
+                JtJ_ptr, (nstate, nstate)).reshape(-1)[:] = JtJ.reshape(-1)
+
+    prm = DoglegParameters2()
+    lib.dogleg_getDefaultParameters(ctypes.byref(prm))
+    bits = DOGLEG_DEBUG_VNLOG
+    if packed:
+        bits |= 1 << 1           # JtJ_packed (dogleg.h:128)
+    if upper:
+        bits |= 1 << 2           # JtJ_upper
+    prm.dogleg_debug = bits
+
+    p = np.ascontiguousarray(p0, np.float64).copy()
+    p_c = p.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+    with tempfile.TemporaryFile() as tmp:
+        saved = os.dup(1)
+        os.dup2(tmp.fileno(), 1)
+        try:
+            norm2x = lib.dogleg_optimize_dense_products(
+                p_c, nstate, cb, None, ctypes.byref(prm), None)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+        tmp.seek(0)
+        text = tmp.read().decode()
+    rows = [l.split() for l in text.splitlines()
+            if l.strip() and not l.startswith("#")]
+    return rows, p, float(norm2x)
+
+
+def run_ours_products(A, B, C, d, p0):
+    import jax
+    import jax.numpy as jnp
+
+    from libdogleg_tpu import (DoglegParameters, ProductsProblem, optimize)
+    from libdogleg_tpu.diagnostics import format_vnlog
+
+    Aj, Bj, Cj, dj = map(jnp.asarray, (A, B, C, d))
+
+    def f(p):
+        t = jnp.tanh(Bj @ p)
+        x = Aj @ t + Cj @ p - dj
+        J = Aj @ (((1.0 - t * t)[:, None]) * Bj) + Cj
+        return x @ x, J.T @ x, J.T @ J
+
+    r = jax.jit(lambda q: optimize(ProductsProblem(f=f), q,
+                                   DoglegParameters(),
+                                   record_history=True))(jnp.asarray(p0))
+    text = format_vnlog(r.history, r.n_attempts)
+    return [l.split() for l in text.splitlines()[1:] if l.strip()], r
+
+
+@pytest.mark.parametrize("packed,upper", [(False, False), (True, True)])
+@pytest.mark.parametrize("seed,nstate,nmeas", [(7, 5, 30), (8, 8, 40)])
+def test_random_products_trace_parity(libref, seed, nstate, nmeas, packed,
+                                      upper):
+    A, B, C, d, p0 = random_problem(seed, nstate, nmeas)
+    residuals, jacobian = np_closures(A, B, C, d)
+    ref_rows, p_ref, _ = run_reference_products(
+        libref, residuals, jacobian, p0, nmeas, packed, upper)
+    our_rows, result = run_ours_products(A, B, C, d, p0)
+    assert_traces_match(ref_rows, our_rows, rel=1e-4)
+    np.testing.assert_allclose(np.asarray(result.p), p_ref,
+                               rtol=1e-5, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# outlierness-factor parity: call dogleg_getOutliernessFactors on the C
+# side's converged context and compare against analysis.outlierness.
+
+class _CholmodCommonStub(ctypes.Structure):
+    # mirrors tests/reference_oracle/cholmod_stub.h (the .so was built
+    # against it, so the embedded layout is this stub's)
+    _fields_ = [("supernodal", ctypes.c_int),
+                ("print_function", ctypes.c_void_p),
+                ("status", ctypes.c_int)]
+
+
+class _SolverContext(ctypes.Structure):
+    # prefix of dogleg_solverContext_t (reference dogleg.h:166-210); only
+    # beforeStep is dereferenced
+    _fields_ = [("common", _CholmodCommonStub),
+                ("f", ctypes.c_void_p),
+                ("cookie", ctypes.c_void_p),
+                ("beforeStep", ctypes.c_void_p),
+                ("afterStep", ctypes.c_void_p),
+                ("factorization", ctypes.c_void_p),
+                ("lam", ctypes.c_double),
+                ("solve_type", ctypes.c_int),
+                ("Nstate", ctypes.c_int),
+                ("Nmeasurements", ctypes.c_int),
+                ("parameters", ctypes.c_void_p)]
+
+
+@pytest.mark.parametrize("feature_size", [1, 2])
+def test_outlierness_factors_parity(libref, feature_size):
+    """The reference's Cook's-D outlierness factors (incl. its k/8 hack)
+    match analysis.get_outlierness_factors on a converged dense solve.
+
+    featureSize == 2 exposes a bug in the reference's DENSE driver: the
+    Jacobian read at dogleg.c:2491 indexes `Nstate*i_measurement+j + k` —
+    operator precedence makes `j` a column offset where the intended row
+    offset is `Nstate*(i_measurement+j) + k` (the sparse driver at
+    dogleg.c:2599-2606 does it correctly). Our implementation follows the
+    intended (sparse-variant) math; this test asserts BOTH facts: our
+    factors equal the correct math, and the C output equals the bug
+    reproduced in numpy."""
+    import jax.numpy as jnp
+
+    from libdogleg_tpu.analysis import get_outlierness_factors
+    from libdogleg_tpu.ops.cholesky import factorize_jtj
+
+    seed, nstate, nmeas = 9, 6, 40
+    A, B, C, d, p0 = random_problem(seed, nstate, nmeas)
+    residuals, jacobian = np_closures(A, B, C, d)
+
+    lib = libref
+    lib.dogleg_getOutliernessFactors.restype = ctypes.c_bool
+    lib.dogleg_getOutliernessFactors.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_void_p,
+        ctypes.POINTER(_SolverContext)]
+    lib.dogleg_freeContext.restype = None
+    lib.dogleg_freeContext.argtypes = [
+        ctypes.POINTER(ctypes.POINTER(_SolverContext))]
+
+    @DENSE_CB
+    def cb(p_ptr, x_ptr, J_ptr, cookie):
+        p = np.ctypeslib.as_array(p_ptr, (nstate,)).copy()
+        np.ctypeslib.as_array(x_ptr, (nmeas,))[:] = residuals(p)
+        np.ctypeslib.as_array(J_ptr, (nmeas, nstate)).reshape(-1)[:] = \
+            jacobian(p).reshape(-1)
+
+    prm = DoglegParameters2()
+    lib.dogleg_getDefaultParameters(ctypes.byref(prm))
+    p = np.ascontiguousarray(p0, np.float64).copy()
+    ctx = ctypes.POINTER(_SolverContext)()
+    lib.dogleg_optimize_dense2.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint, ctypes.c_uint,
+        DENSE_CB, ctypes.c_void_p, ctypes.POINTER(DoglegParameters2),
+        ctypes.POINTER(ctypes.POINTER(_SolverContext))]
+    lib.dogleg_optimize_dense2(
+        p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)), nstate, nmeas,
+        cb, None, ctypes.byref(prm), ctypes.byref(ctx))
+    assert bool(ctx)
+
+    nfeat = nmeas // feature_size
+    factors_ref = np.zeros(nfeat)
+    scale = ctypes.c_double(-1.0)
+    ok = lib.dogleg_getOutliernessFactors(
+        factors_ref.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(scale), feature_size, nfeat, 0,
+        ctx.contents.beforeStep, ctx)
+    lam_ref = float(ctx.contents.lam)
+    lib.dogleg_freeContext(ctypes.byref(ctx))
+    assert ok
+
+    # ours, at the same converged state
+    x = residuals(p)
+    J = jacobian(p)
+    fac = factorize_jtj(jnp.asarray(J.T @ J), jnp.asarray(lam_ref))
+    factors, _ = get_outlierness_factors(
+        jnp.asarray(x), jnp.asarray(J), fac.L, feature_size=feature_size)
+
+    if feature_size == 1:
+        np.testing.assert_allclose(np.asarray(factors), factors_ref,
+                                   rtol=1e-8, atol=1e-12)
+        return
+
+    # featureSize == 2: the reference's dense driver is buggy (see
+    # docstring). Reproduce the bug in numpy and assert the C library
+    # matches IT, while our implementation matches the intended math.
+    JtJ = J.T @ J + lam_ref * np.eye(nstate)
+    pinvm = J @ np.linalg.inv(JtJ)          # [meas, k] as invJtJ_Jt stores
+    Jflat = J.reshape(-1)
+    n_non = nmeas
+    scale_expect = n_non / (4.0 * (nstate + 1) * float(x @ x)
+                            / (n_non - nstate - 1))
+    k = scale_expect / 8.0
+    buggy = np.zeros(nfeat)
+    for fidx in range(nfeat):
+        m = 2 * fidx
+        Aul = np.zeros(3)
+        iA = 0
+        for i in range(2):
+            for j in range(i, 2):
+                acc = 0.0
+                for kk in range(nstate):
+                    acc += pinvm[m + i, kk] * Jflat[nstate * m + j + kk]
+                Aul[iA] = acc
+                iA += 1
+        a00, a01, a11 = Aul
+        det = (1.0 - a00) * (1.0 - a11) - a01 * a01
+        b00, b11, b01 = a11 - 1.0, a00 - 1.0, -a01
+        x0, x1 = x[m], x[m + 1]
+        xBx = (x0 * x0 * b00 + 2 * x0 * x1 * b01 + x1 * x1 * b11) / det
+        v1, v2 = x0 * b00 + x1 * b01, x0 * b01 + x1 * b11
+        buggy[fidx] = (xBx + (v1 * v1 + v2 * v2) / (det * det)) * k
+    np.testing.assert_allclose(factors_ref, buggy, rtol=1e-8, atol=1e-12)
+
+    # and ours equals the intended (sparse-variant) math: the correct A
+    correct = np.zeros(nfeat)
+    for fidx in range(nfeat):
+        m = 2 * fidx
+        Af = J[m:m + 2] @ pinvm[m:m + 2].T  # J_f inv(JtJ) J_f^T
+        a00, a01, a11 = Af[0, 0], Af[0, 1], Af[1, 1]
+        det = (1.0 - a00) * (1.0 - a11) - a01 * a01
+        b00, b11, b01 = a11 - 1.0, a00 - 1.0, -a01
+        x0, x1 = x[m], x[m + 1]
+        xBx = (x0 * x0 * b00 + 2 * x0 * x1 * b01 + x1 * x1 * b11) / det
+        v1, v2 = x0 * b00 + x1 * b01, x0 * b01 + x1 * b11
+        correct[fidx] = (xBx + (v1 * v1 + v2 * v2) / (det * det)) * k
+    np.testing.assert_allclose(np.asarray(factors), correct,
+                               rtol=1e-8, atol=1e-12)
