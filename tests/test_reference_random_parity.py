@@ -427,3 +427,73 @@ def test_outlierness_factors_parity(libref, feature_size):
         correct[fidx] = (xBx + (v1 * v1 + v2 * v2) / (det * det)) * k
     np.testing.assert_allclose(np.asarray(factors), correct,
                                rtol=1e-8, atol=1e-12)
+
+
+def test_gradient_checker_parity(libref):
+    """dogleg_testGradient_dense's table matches analysis.check_gradients /
+    format_gradient_table row-for-row (same delta, midpoint averaging, and
+    error definitions, reference dogleg.c:454-476)."""
+    import jax.numpy as jnp
+
+    from libdogleg_tpu import DenseProblem
+    from libdogleg_tpu.analysis import check_gradients, format_gradient_table
+
+    seed, nstate, nmeas = 10, 5, 20
+    A, B, C, d, p0 = random_problem(seed, nstate, nmeas)
+    residuals, jacobian = np_closures(A, B, C, d)
+
+    lib = libref
+    lib.dogleg_testGradient_dense.restype = None
+    lib.dogleg_testGradient_dense.argtypes = [
+        ctypes.c_uint, ctypes.POINTER(ctypes.c_double), ctypes.c_uint,
+        ctypes.c_uint, DENSE_CB, ctypes.c_void_p]
+
+    @DENSE_CB
+    def cb(p_ptr, x_ptr, J_ptr, cookie):
+        p = np.ctypeslib.as_array(p_ptr, (nstate,)).copy()
+        np.ctypeslib.as_array(x_ptr, (nmeas,))[:] = residuals(p)
+        np.ctypeslib.as_array(J_ptr, (nmeas, nstate)).reshape(-1)[:] = \
+            jacobian(p).reshape(-1)
+
+    p = np.ascontiguousarray(p0, np.float64)
+    Aj, Bj, Cj, dj = map(jnp.asarray, (A, B, C, d))
+
+    def f(q):
+        t = jnp.tanh(Bj @ q)
+        return (Aj @ t + Cj @ q - dj,
+                Aj @ (((1.0 - t * t)[:, None]) * Bj) + Cj)
+
+    problem = DenseProblem(f=f)
+    for var in range(nstate):
+        with tempfile.TemporaryFile() as tmp:
+            saved = os.dup(1)
+            os.dup2(tmp.fileno(), 1)
+            try:
+                lib.dogleg_testGradient_dense(
+                    var, p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                    nstate, nmeas, cb, None)
+            finally:
+                os.dup2(saved, 1)
+                os.close(saved)
+            tmp.seek(0)
+            ref_rows = [l.split() for l in tmp.read().decode().splitlines()
+                        if l.strip() and not l.startswith("#")]
+        chk = check_gradients(problem, jnp.asarray(p0), var)
+        our_rows = [l.split()
+                    for l in format_gradient_table(chk).splitlines()[1:]
+                    if l.strip()]
+        assert len(ref_rows) == len(our_rows) == nmeas
+        for rr, orow in zip(ref_rows, our_rows):
+            assert rr[0] == orow[0] and rr[1] == orow[1]
+            # reported/observed must agree tightly; the error columns are
+            # the *difference* of those (noise-level when the gradient is
+            # correct, dominated by libm-vs-XLA ulps), so they only get an
+            # absolute gate scaled to the gradient magnitude
+            rep = float(rr[2])
+            for k, (a, b) in enumerate(zip(rr[2:], orow[2:])):
+                if k < 2:
+                    assert float(a) == pytest.approx(float(b), rel=1e-6,
+                                                     abs=1e-12), (rr, orow)
+                else:
+                    tol = 1e-6 * max(abs(rep), 1e-3)
+                    assert abs(float(a) - float(b)) < tol, (rr, orow)
