@@ -63,7 +63,9 @@ def bench_matmul_calibration(n=4096):
          sol_frac=round(tflops / mxu, 3), bound="MXU")
 
 
-def bench_small_cholesky(batch=1_000_000, n=6):
+def bench_small_cholesky(batch=262144, n=6):
+    # batch sized to stay clear of HBM pressure: (batch, 6, 6) f32 tiles
+    # pad (6,6)->(8,128) on TPU, a ~28x physical footprint
     from libdogleg_tpu.ops.smallchol import small_cholesky
     rng = np.random.default_rng(0)
     A = rng.normal(size=(batch, n, n)).astype(np.float32)

@@ -52,3 +52,26 @@ def load_state(path: str) -> _Carry:
     """Load a solver state saved by save_state."""
     with np.load(path) as data:
         return _unflatten({k: data[k] for k in data.files})
+
+
+def save_state_orbax(path: str, state: _Carry) -> None:
+    """Write a solver state through orbax — the right choice for multi-host
+    sharded states, where each host writes only its shards. The state is an
+    ordinary pytree, so this is a thin convenience wrapper."""
+    import orbax.checkpoint as ocp
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(path, state, force=True)
+
+
+def load_state_orbax(path: str, like: _Carry) -> _Carry:
+    """Restore a solver state saved by save_state_orbax. `like` provides the
+    target structure/shardings (e.g. a freshly built init_solver_state on
+    the same mesh); pass the live pytree — orbax restores onto its
+    shapes/shardings."""
+    import jax
+    import orbax.checkpoint as ocp
+    abstract = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(
+            x.shape, x.dtype, sharding=getattr(x, "sharding", None)), like)
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path, abstract)

@@ -87,3 +87,48 @@ def explain_result(result: SolveResult) -> str:
             f"norm2_x={float(result.norm2_x):.6g}, "
             f"trustregion={float(result.trustregion):.6g}, "
             f"lambda={float(result.lam):.3g}")
+
+
+def profile_op_summary(fn, *args, logdir: str = "/tmp/libdogleg_tpu_trace",
+                       top: int = 15) -> str:
+    """Profile one execution of fn(*args) with jax.profiler and return a
+    per-op device-time summary (the reference has no profiling at all,
+    SURVEY.md section 5.1; on TPU this is the tool that shows where a
+    solve's wall time actually goes — e.g. the while-loop body's fusions).
+
+    The result is forced to completion with a dependent host fetch, which
+    is required for a truthful trace on asynchronous remote backends."""
+    import collections
+    import glob
+    import gzip
+    import json
+
+    import jax
+
+    from libdogleg_tpu.utils.benchtime import fetch
+
+    fetch(fn(*args))                      # compile outside the trace
+    with jax.profiler.trace(logdir):
+        fetch(fn(*args))
+
+    files = sorted(glob.glob(f"{logdir}/**/*.trace.json.gz", recursive=True))
+    if not files:
+        return "no trace captured"
+    data = json.loads(gzip.open(files[-1]).read())
+    events = [e for e in data.get("traceEvents", [])
+              if e.get("ph") == "X" and e.get("dur")]
+    procs = {e["pid"]: str(e["args"].get("name"))
+             for e in data["traceEvents"]
+             if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev_pids = [p for p, nm in procs.items()
+                if "TPU" in nm or "GPU" in nm or "XLA" in nm]
+    agg = collections.defaultdict(float)
+    cnt = collections.Counter()
+    for e in events:
+        if not dev_pids or e["pid"] in dev_pids:
+            agg[e["name"]] += e["dur"]
+            cnt[e["name"]] += 1
+    lines = [f"{'ms':>9}  {'calls':>6}  op"]
+    for name, dur in sorted(agg.items(), key=lambda t: -t[1])[:top]:
+        lines.append(f"{dur / 1e3:9.3f}  {cnt[name]:6d}  {name[:80]}")
+    return "\n".join(lines)

@@ -89,3 +89,26 @@ def test_run_on_finished_state_is_noop():
     again = run_solver(products, state, max_new_attempts=5)
     np.testing.assert_array_equal(np.asarray(again.p), np.asarray(state.p))
     assert int(again.n_attempts) == int(state.n_attempts)
+
+
+def test_orbax_roundtrip(tmp_path):
+    """Orbax wrapper: the multi-host-capable checkpoint path restores the
+    exact state."""
+    import jax
+    import numpy as np
+    import pytest
+    pytest.importorskip("orbax.checkpoint")
+    import libdogleg_tpu.sample_problem as sp
+    from libdogleg_tpu import checkpoint, init_solver_state, run_solver
+
+    meas = sp.simulate(jax.random.PRNGKey(0))
+    p0 = sp.initial_state(jax.random.PRNGKey(1))
+    problem = sp.make_dense_problem(meas)
+    st = init_solver_state(problem.products, p0)
+    st = run_solver(problem.products, st, max_new_attempts=2)
+    path = str(tmp_path / "ckpt")
+    checkpoint.save_state_orbax(path, st)
+    st2 = checkpoint.load_state_orbax(path, st)
+    for a, b in zip(jax.tree_util.tree_leaves(st),
+                    jax.tree_util.tree_leaves(st2)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
