@@ -20,7 +20,7 @@ import numpy as np
 import libdogleg_tpu.models.quadratic_surface as sp
 from libdogleg_tpu import DoglegParameters, optimize
 from libdogleg_tpu.analysis import get_outlierness_factors
-from libdogleg_tpu.models import bundle_adjustment, curve_fit
+from libdogleg_tpu.models import bundle_adjustment, curve_fit, grid_mrf
 from libdogleg_tpu.ops.cholesky import factorize_jtj
 from libdogleg_tpu.solver import Products, solve_products
 from libdogleg_tpu.utils.benchtime import fetch, measure_loop
@@ -118,9 +118,38 @@ def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
          nmeas=nmeas, nstate=nstate)
 
 
+def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16):
+    """Large sparse single problem: RCM-ordered supernodal amalgamation vs
+    the dense-JtJ path on the same instance. The supernodal block-sparse
+    Cholesky is where sparsity starts beating the MXU's love of dense —
+    the TPU analog of the reference's "massive performance gains" claim
+    (README.pod:19-21)."""
+    m = grid_mrf.make_grid_mrf(width=width, height=height, block_size=b,
+                               dtype=DTYPE)
+    from libdogleg_tpu.problems import SparseProblem
+    base = m.problem(jtj="dense")
+    sp_prob = SparseProblem(f=base.f, structure=base.structure,
+                            jtj="sparse", ordering="rcm",
+                            amalgamate=amalgamate)
+    ns = sp_prob.default_newton_solver()
+    f_sp = jax.jit(lambda p0: optimize(sp_prob, p0, PRM,
+                                       newton_solver=ns).norm2_x)
+    dt_sp, out = timeit(f_sp, jnp.zeros(m.nstate, DTYPE))
+    f_d = jax.jit(lambda p0: optimize(base, p0, PRM).norm2_x)
+    dt_d, _ = timeit(f_d, jnp.zeros(m.nstate, DTYPE))
+    inner = ns.symbolic.inner
+    emit("6-sparse-grid-mrf", "solve_latency", dt_sp * 1e3, "ms",
+         nstate=m.nstate, n_nodes=m.n_nodes, amalgamate=amalgamate,
+         super_levels=inner.sched.nlevels, super_block=inner.b,
+         dense_mode_ms=round(dt_d * 1e3, 2),
+         sparse_speedup_vs_dense=round(dt_d / dt_sp, 2),
+         converged=bool(np.isfinite(np.asarray(out))))
+
+
 if __name__ == "__main__":
     config1_sparse()
     config2_dense()
     config3_batched()
     config4_ba_schur()
     config5_outlierness()
+    config6_sparse_grid()

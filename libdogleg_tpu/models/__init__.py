@@ -13,7 +13,8 @@ families the TPU-scale benchmarks exercise:
                        Schur-complement elimination (BASELINE.md config 4)
 """
 
-from libdogleg_tpu.models import bundle_adjustment, curve_fit
+from libdogleg_tpu.models import bundle_adjustment, curve_fit, grid_mrf
 from libdogleg_tpu.models import quadratic_surface
 
-__all__ = ["quadratic_surface", "curve_fit", "bundle_adjustment"]
+__all__ = ["quadratic_surface", "curve_fit", "bundle_adjustment",
+           "grid_mrf"]

@@ -175,12 +175,30 @@ class SparseNewtonSolver:
 
     @staticmethod
     def analyze(rows, cols, nb: int, b: int = 1,
-                ordering="mindeg") -> "SparseNewtonSolver":
+                ordering="mindeg",
+                amalgamate: int = 1) -> "SparseNewtonSolver":
+        """amalgamate > 1 merges that many consecutive (post-ordering)
+        block columns into supernodes (libdogleg_tpu.supernodal): fewer,
+        fatter dependency levels — the MXU-friendly regime for small b."""
+        if amalgamate > 1:
+            from libdogleg_tpu import supernodal as sn
+            return SparseNewtonSolver(
+                symbolic=sn.analyze(rows, cols, nb, b, ordering,
+                                    amalgamate=amalgamate))
         from libdogleg_tpu import sparse_cholesky as sc
         return SparseNewtonSolver(
             symbolic=sc.analyze(rows, cols, nb, b, ordering))
 
+    def _backend(self):
+        if hasattr(self.symbolic, "inner"):
+            from libdogleg_tpu import supernodal as sn
+            return sn
+        from libdogleg_tpu import sparse_cholesky as sc
+        return sc
+
     def quad_form(self, blocks, v):
+        # works for both symbolic kinds: in_rows/in_cols/nb/b are the
+        # ORIGINAL pattern on either
         sym = self.symbolic
         b = sym.b
         vb = v.reshape(sym.nb, b)
@@ -194,11 +212,11 @@ class SparseNewtonSolver:
 
     def gauss_newton(self, blocks, Jt_x, lam, *, lambda_initial,
                      lambda_max_tries) -> GNResult:
-        from libdogleg_tpu import sparse_cholesky as sc
-        L, lam, ok = sc.factorize_with_lambda(
+        be = self._backend()
+        L, lam, ok = be.factorize_with_lambda(
             self.symbolic, blocks, lam, lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
-        step = -sc.solve(self.symbolic, L, Jt_x)
+        step = -be.solve(self.symbolic, L, Jt_x)
         return GNResult(step=step, norm2_step=jnp.dot(step, step),
                         lam=lam, ok=ok)
 

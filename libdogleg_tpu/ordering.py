@@ -83,16 +83,52 @@ def mindeg_ordering(rows: np.ndarray, cols: np.ndarray,
     return _mindeg_python(rows, cols, n)
 
 
+def rcm_ordering(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
+    """Reverse Cuthill-McKee: the bandwidth-minimizing companion to
+    supernodal amalgamation (libdogleg_tpu.supernodal). Minimum degree
+    minimizes fill but scatters structurally-related columns through the
+    elimination order, which makes fixed-width column grouping couple
+    distant nodes; RCM keeps consecutive columns adjacent in the graph, so
+    grouped supernodes stay banded. BFS from a minimum-degree start node of
+    each component, neighbors visited in degree order, result reversed."""
+    adj = [[] for _ in range(n)]
+    for i, j in zip(np.asarray(rows), np.asarray(cols)):
+        i, j = int(i), int(j)
+        if i != j:
+            adj[i].append(j)
+            adj[j].append(i)
+    deg = np.array([len(a) for a in adj])
+    for a in adj:
+        a.sort(key=lambda v: deg[v])
+    visited = np.zeros(n, bool)
+    order = []
+    for start in np.argsort(deg, kind="stable"):
+        if visited[start]:
+            continue
+        queue = [int(start)]
+        visited[start] = True
+        while queue:
+            v = queue.pop(0)
+            order.append(v)
+            for u in adj[v]:
+                if not visited[u]:
+                    visited[u] = True
+                    queue.append(u)
+    return np.asarray(order[::-1], np.int32)
+
+
 def resolve_ordering(ordering, rows: np.ndarray, cols: np.ndarray,
                      n: int) -> np.ndarray:
-    """Normalize an ordering spec — "mindeg"/"amd", "natural", or an explicit
-    permutation array — to a perm array (perm[k] = original index k-th in
-    elimination order)."""
+    """Normalize an ordering spec — "mindeg"/"amd", "rcm", "natural", or an
+    explicit permutation array — to a perm array (perm[k] = original index
+    k-th in elimination order)."""
     if ordering is None or ordering == "natural":
         return np.arange(n, dtype=np.int32)
     if isinstance(ordering, str):
         if ordering in ("mindeg", "amd"):
             return mindeg_ordering(rows, cols, n)
+        if ordering == "rcm":
+            return rcm_ordering(rows, cols, n)
         raise ValueError(f"unknown ordering {ordering!r}")
     perm = np.asarray(ordering, np.int32)
     assert perm.shape == (n,) and np.array_equal(np.sort(perm), np.arange(n))

@@ -70,6 +70,7 @@ class SparseProblem:
     structure: BCSRStructure
     jtj: str = "dense"
     ordering: object = "mindeg"
+    amalgamate: int = 1
     _jtj_sched: object = dataclasses.field(init=False, default=None,
                                            repr=False, compare=False)
     _newton: object = dataclasses.field(init=False, default=None,
@@ -87,7 +88,7 @@ class SparseProblem:
             sched = bops.jtj_lower_schedule(s)
             ns = SparseNewtonSolver.analyze(
                 sched.rows, sched.cols, s.nbcol, s.block_cols,
-                self.ordering)
+                self.ordering, amalgamate=self.amalgamate)
             object.__setattr__(self, "_jtj_sched", sched)
             object.__setattr__(self, "_newton", ns)
 

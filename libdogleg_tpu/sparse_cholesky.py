@@ -334,6 +334,80 @@ def _pad(flat: np.ndarray, off: np.ndarray, fill: int) -> np.ndarray:
     return out
 
 
+def _chunk_boundaries(weights: np.ndarray, max_chunks: int = 16):
+    """Split the level axis into contiguous runs so each run is padded to
+    its own max width. Level widths vary by orders of magnitude along the
+    elimination (thin chain levels vs wide supernodal fronts); one global
+    pad wastes up to ~70x (measured on a 24x24 grid MRF). Runs start where
+    the log2 width class changes; adjacent runs are then merged
+    cheapest-first until at most max_chunks remain (bounding compile time
+    to max_chunks scans)."""
+    n = weights.shape[0]
+    if n == 0:
+        return [(0, 0)]
+    classes = np.floor(np.log2(np.maximum(weights, 1))).astype(np.int64)
+    bounds = [0] + [i for i in range(1, n)
+                    if classes[i] != classes[i - 1]] + [n]
+    chunks = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)]
+
+    def cost(lo, hi):
+        return (hi - lo) * int(weights[lo:hi].max(initial=0))
+
+    while len(chunks) > max_chunks:
+        best, best_inc = None, None
+        for i in range(len(chunks) - 1):
+            lo, mid = chunks[i]
+            _, hi = chunks[i + 1]
+            inc = cost(lo, hi) - cost(lo, mid) - cost(mid, hi)
+            if best_inc is None or inc < best_inc:
+                best, best_inc = i, inc
+        lo, _ = chunks[best]
+        _, hi = chunks.pop(best + 1)
+        chunks[best] = (lo, hi)
+    return chunks
+
+
+def _slice_sched(s: OpSchedule, lo: int, hi: int) -> OpSchedule:
+    """The sub-schedule of levels [lo, hi) with rebased offsets."""
+    def cut(flat, off):
+        return flat[off[lo]:off[hi]], (off[lo:hi + 1] - off[lo])
+    ut, uoff = cut(s.upd_tgt, s.upd_off)
+    ui, _ = cut(s.upd_i, s.upd_off)
+    uj, _ = cut(s.upd_j, s.upd_off)
+    f, foff = cut(s.fac, s.fac_off)
+    st, soff = cut(s.sol_tgt, s.sol_off)
+    sd, _ = cut(s.sol_diag, s.sol_off)
+    return OpSchedule(upd_tgt=ut, upd_i=ui, upd_j=uj, upd_off=uoff,
+                      fac=f, fac_off=foff,
+                      sol_tgt=st, sol_diag=sd, sol_off=soff)
+
+
+def _sched_chunks(s: OpSchedule, max_chunks: int = 16):
+    # flop-weighted width proxy: UPDATE ~2 b^3, SOLVE ~b^3, FACTOR ~b^3/3
+    w = (2 * np.diff(s.upd_off) + np.diff(s.sol_off)
+         + np.maximum(np.diff(s.fac_off), 1))
+    return [_slice_sched(s, lo, hi)
+            for lo, hi in _chunk_boundaries(w, max_chunks)]
+
+
+def _slice_solve(s: SolveSchedule, lo: int, hi: int) -> SolveSchedule:
+    def cut(flat, off):
+        return flat[off[lo]:off[hi]], (off[lo:hi + 1] - off[lo])
+    pj, poff = cut(s.pair_j, s.pair_off)
+    pk, _ = cut(s.pair_k, s.pair_off)
+    ps, _ = cut(s.pair_slot, s.pair_off)
+    dr, doff = cut(s.diag_rows, s.diag_off)
+    ds, _ = cut(s.diag_slot, s.diag_off)
+    return SolveSchedule(pair_j=pj, pair_k=pk, pair_slot=ps, pair_off=poff,
+                         diag_rows=dr, diag_slot=ds, diag_off=doff)
+
+
+def _solve_chunks(s: SolveSchedule, max_chunks: int = 8):
+    w = np.diff(s.pair_off) + np.diff(s.diag_off)
+    return [_slice_solve(s, lo, hi)
+            for lo, hi in _chunk_boundaries(w, max_chunks)]
+
+
 def _pad_levels(sched: OpSchedule, nslots: int):
     """Rectangular (nlevels, max_k) tensors for the factorization scan.
     Padding ops target a trash slot (index nslots) and are masked where they
@@ -385,10 +459,6 @@ def factorize(sym: SparseCholeskySymbolic,
     eye = jnp.eye(b, dtype=dtype)
     vals = vals.at[jnp.asarray(sym.diag_slot_of)].add(lam * eye)
 
-    (upd_tgt, upd_i, upd_j, fac, fac_valid,
-     sol_tgt, sol_diag) = (jnp.asarray(a)
-                           for a in _pad_levels(sym.sched, sym.nslots))
-
     def level_step(carry, xs):
         vals, ok = carry
         ut, ui, uj, fc, fv, st, sd = xs
@@ -406,9 +476,14 @@ def factorize(sym: SparseCholeskySymbolic,
         vals = vals.at[st].set(_tri_solve_right(D, C))
         return (vals, ok), None
 
-    (vals, ok), _ = jax.lax.scan(
-        level_step, (vals, jnp.asarray(True)),
-        (upd_tgt, upd_i, upd_j, fac, fac_valid, sol_tgt, sol_diag))
+    # one scan per contiguous width class: level widths vary by orders of
+    # magnitude along the elimination, and padding every level to the
+    # global max wastes up to ~70x of the batched-op work
+    carry = (vals, jnp.asarray(True))
+    for chunk in _sched_chunks(sym.sched):
+        xs = tuple(jnp.asarray(a) for a in _pad_levels(chunk, sym.nslots))
+        carry, _ = jax.lax.scan(level_step, carry, xs)
+    vals, ok = carry
     return vals[:sym.nslots], ok
 
 
@@ -432,9 +507,6 @@ def solve(sym: SparseCholeskySymbolic,
         return out[..., 0]
 
     def phase(y, ss, transpose, transpose_coupling):
-        xs = tuple(jnp.asarray(a)
-                   for a in _pad_solve_levels(ss, sym.nb))
-
         def step(y, lev):
             pj, pk, ps, dr, ds = lev
             blk = L_blocks[ps]
@@ -449,7 +521,10 @@ def solve(sym: SparseCholeskySymbolic,
             y = y.at[dr].set(tri(L_blocks[ds], y[dr], transpose))
             return y, None
 
-        y, _ = jax.lax.scan(step, y, xs)
+        for chunk in _solve_chunks(ss):
+            xs = tuple(jnp.asarray(a)
+                       for a in _pad_solve_levels(chunk, sym.nb))
+            y, _ = jax.lax.scan(step, y, xs)
         return y
 
     y = phase(y, sym.fwd, transpose=False, transpose_coupling=False)

@@ -79,3 +79,34 @@ def test_ba_solve_recovers_truth():
     assert float(r.norm2_x) < 1e-16
     np.testing.assert_allclose(np.asarray(r.p), np.asarray(ba.p_true),
                                atol=1e-7)
+
+
+def test_grid_mrf_sparse_solve():
+    """The grid MRF solves through the block-sparse JtJ + level-scheduled
+    Cholesky; being linear, one GN step reaches the optimum, and the
+    fill-reducing ordering beats natural order on the grid pattern."""
+    from libdogleg_tpu.models import grid_mrf
+    from libdogleg_tpu.ops.bcsr import jtj_lower_schedule
+    from libdogleg_tpu import sparse_cholesky as sc
+
+    m = grid_mrf.make_grid_mrf(width=8, height=6, block_size=3)
+    prob = m.problem(jtj="sparse")
+    r = jax.jit(lambda q: optimize(prob, q, DoglegParameters(),
+                                   newton_solver=prob.default_newton_solver()
+                                   ))(jnp.zeros(m.nstate))
+    assert int(r.step_count) <= 2
+    assert float(jnp.max(jnp.abs(r.Jt_x))) < 1e-9
+    # linear problem oracle: normal equations on the densified system
+    x0, _ = prob.f(jnp.zeros(m.nstate))
+    _, Jd = prob.full(jnp.zeros(m.nstate))
+    Jd = np.asarray(Jd)
+    p_opt = np.linalg.solve(Jd.T @ Jd, -Jd.T @ np.asarray(x0))
+    np.testing.assert_allclose(np.asarray(r.p), p_opt, rtol=1e-8, atol=1e-9)
+
+    # ordering value: strictly less fill than natural on the grid
+    sched = jtj_lower_schedule(m.structure)
+    nat = sc.analyze(sched.rows, sched.cols, m.n_nodes, m.block_size,
+                     ordering="natural")
+    amd = sc.analyze(sched.rows, sched.cols, m.n_nodes, m.block_size,
+                     ordering="mindeg")
+    assert amd.nslots < nat.nslots

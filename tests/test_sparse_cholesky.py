@@ -236,3 +236,73 @@ def test_sparse_newton_end_to_end():
     assert int(r.step_count) <= 2
     # verify gradient is ~0 at solution
     assert float(jnp.max(jnp.abs(r.Jt_x))) < 1e-10
+
+
+@pytest.mark.parametrize("S", [2, 4])
+@pytest.mark.parametrize("ordering", ["rcm", "natural"])
+def test_amalgamated_matches_dense(S, ordering):
+    """Supernodal amalgamation (libdogleg_tpu.supernodal) factors the same
+    matrix exactly, including the nb % S != 0 virtual-padding case."""
+    from libdogleg_tpu import supernodal as sn
+    dense, blocks, rows, cols = _random_spd_pattern(21, 13, 3, 22)
+    rhs = jnp.asarray(np.random.default_rng(5).normal(size=(13 * 3,)))
+    sym = sn.analyze(rows, cols, 13, 3, ordering=ordering, amalgamate=S)
+    L, ok = sn.factorize(sym, blocks, jnp.asarray(0.0))
+    assert bool(ok)
+    x = sn.solve(sym, L, rhs)
+    np.testing.assert_allclose(dense @ np.asarray(x), np.asarray(rhs),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_amalgamated_lambda_escalation():
+    from libdogleg_tpu import supernodal as sn
+    dense, blocks, rows, cols = _random_spd_pattern(22, 6, 2, 8)
+    idx = [k for k, (i, j) in enumerate(zip(rows, cols)) if i == j == 1][0]
+    blocks = blocks.at[idx].set(jnp.zeros((2, 2)))
+    sym = sn.analyze(rows, cols, 6, 2, amalgamate=2)
+    L, lam, ok = sn.factorize_with_lambda(sym, blocks, jnp.asarray(0.0))
+    assert bool(ok) and float(lam) > 0
+
+
+def test_rcm_is_valid_and_banded():
+    """RCM returns a permutation and reduces bandwidth on a shuffled band."""
+    from libdogleg_tpu.ordering import rcm_ordering
+    rng = np.random.default_rng(3)
+    nb, band = 60, 3
+    shuffle = rng.permutation(nb)
+    rows, cols = [], []
+    for j in range(nb):
+        for i in range(j, min(nb, j + band)):
+            a, b = int(shuffle[i]), int(shuffle[j])
+            rows.append(max(a, b))
+            cols.append(min(a, b))
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    perm = rcm_ordering(rows, cols, nb)
+    assert np.array_equal(np.sort(perm), np.arange(nb))
+    iperm = np.empty(nb, np.int64)
+    iperm[perm] = np.arange(nb)
+    bw_before = int(np.max(np.abs(rows - cols)))
+    bw_after = int(np.max(np.abs(iperm[rows] - iperm[cols])))
+    assert bw_after <= band + 1 < bw_before
+
+
+def test_sparse_problem_amalgamated_end_to_end():
+    """SparseProblem(jtj='sparse', ordering='rcm', amalgamate=4) takes the
+    same trajectory as the dense-JtJ mode."""
+    import jax
+    from libdogleg_tpu import DoglegParameters, optimize
+    from libdogleg_tpu.models import grid_mrf
+    from libdogleg_tpu.problems import SparseProblem
+
+    m = grid_mrf.make_grid_mrf(width=6, height=5, block_size=3)
+    base = m.problem(jtj="dense")
+    amal = SparseProblem(f=base.f, structure=base.structure, jtj="sparse",
+                         ordering="rcm", amalgamate=4)
+    prm = DoglegParameters()
+    p0 = jnp.zeros(m.nstate)
+    r_d = optimize(base, p0, prm)
+    r_s = jax.jit(lambda q: optimize(
+        amal, q, prm, newton_solver=amal.default_newton_solver()))(p0)
+    assert int(r_s.step_count) == int(r_d.step_count)
+    np.testing.assert_allclose(np.asarray(r_s.p), np.asarray(r_d.p),
+                               rtol=1e-8, atol=1e-9)
