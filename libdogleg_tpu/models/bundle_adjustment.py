@@ -81,6 +81,61 @@ class BAProblem(NamedTuple):
         return SchurNewtonSolver(nc=self.nc, n_points=self.n_points,
                                  block_size=self.block_size)
 
+    # ---- structured-state (pytree) form: p = {"c": (nc,), "q": (np, bs)}.
+    # Each leaf carries its own sharding, so the point axis distributes
+    # over a mesh while the camera block stays replicated — the
+    # multi-chip Schur-elimination configuration (BASELINE.md config 4).
+
+    def residuals_tree(self, p):
+        return (jnp.einsum('pkb,pb->pk', self.A, p["q"])
+                + jnp.einsum('pkc,c->pk', self.B, p["c"]) - self.obs)
+
+    def products_tree(self, p) -> Products:
+        dt = p["c"].dtype
+        r = self.residuals_tree(p)
+        return Products(
+            norm2_x=jnp.sum(r * r),
+            Jt_x={"c": jnp.einsum('pkc,pk->c', self.B, r,
+                                  preferred_element_type=dt),
+                  "q": jnp.einsum('pkb,pk->pb', self.A, r,
+                                  preferred_element_type=dt)},
+            JtJ=SchurJtJ(
+                U=jnp.einsum('pkc,pkd->cd', self.B, self.B,
+                             preferred_element_type=dt),
+                W=jnp.einsum('pkc,pkb->cpb', self.B, self.A,
+                             preferred_element_type=dt),
+                V=jnp.einsum('pkb,pkd->pbd', self.A, self.A,
+                             preferred_element_type=dt)))
+
+    def tree_newton_solver(self):
+        from libdogleg_tpu.ops.newton import TreeSchurNewtonSolver
+        return TreeSchurNewtonSolver(nc=self.nc, n_points=self.n_points,
+                                     block_size=self.block_size)
+
+    def p0_tree(self, dtype=None):
+        dtype = dtype or self.A.dtype
+        return {"c": jnp.zeros((self.nc,), dtype),
+                "q": jnp.zeros((self.n_points, self.block_size), dtype)}
+
+    def shard(self, mesh, axis_name: str = "pts") -> "BAProblem":
+        """Place the per-point data (A, B, obs) sharded over a mesh axis;
+        shard p["q"] the same way (see shard_p_tree) and the whole solve
+        stays distributed under jit."""
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        s = NamedSharding(mesh, P(axis_name))
+        return self._replace(A=jax.device_put(self.A, s),
+                             B=jax.device_put(self.B, s),
+                             obs=jax.device_put(self.obs, s))
+
+    def shard_p_tree(self, p, mesh, axis_name: str = "pts"):
+        import jax
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        return {"c": jax.device_put(p["c"],
+                                    NamedSharding(mesh, P())),
+                "q": jax.device_put(p["q"],
+                                    NamedSharding(mesh, P(axis_name)))}
+
 
 def make_synthetic(seed: int = 0,
                    nc: int = 64,

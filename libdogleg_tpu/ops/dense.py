@@ -86,14 +86,16 @@ def interpolated_step(cauchy: jnp.ndarray,
     zero, exactly as the reference (dogleg.c:936-987). `a` is the Cauchy step
     (guaranteeing a nonnegative discriminant, reference dogleg.c:945-947).
     """
-    d = cauchy - gn
-    l2 = norm2(d)
-    neg_c = jnp.dot(d, cauchy)
+    from libdogleg_tpu.ops.treevec import (tree_add, tree_dot, tree_scale,
+                                           tree_sub)
+    d = tree_sub(cauchy, gn)
+    l2 = tree_dot(d, d)
+    neg_c = tree_dot(d, cauchy)
     dsq = trustregion * trustregion
     discriminant = jnp.maximum(neg_c * neg_c - l2 * (norm2_cauchy - dsq), 0.0)
     k = (neg_c + jnp.sqrt(discriminant)) / l2
-    step = cauchy + k * (gn - cauchy)
-    return InterpolatedStep(step=step, norm2_step=norm2(step), k=k)
+    step = tree_add(cauchy, tree_scale(k, tree_sub(gn, cauchy)))
+    return InterpolatedStep(step=step, norm2_step=tree_dot(step, step), k=k)
 
 
 def expected_improvement(Jt_x: jnp.ndarray,

@@ -119,15 +119,17 @@ class SchurNewtonSolver:
         ok_s = jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.diag(Ls) > 0)
         return (Lv, Ls), ok_v & ok_s
 
-    def gauss_newton(self, JtJ: SchurJtJ, Jt_x, lam, *, lambda_initial,
-                     lambda_max_tries) -> GNResult:
-        lam = jnp.asarray(lam, dtype=Jt_x.dtype)
+    def _gn_core(self, JtJ: SchurJtJ, rc, rp, lam, lambda_initial,
+                 lambda_max_tries):
+        """Factor (with the escalating-lambda loop) and solve for the
+        camera/point step pair (dc, dp)."""
+        lam = jnp.asarray(lam, dtype=rc.dtype)
         state0, ok0 = self._try_factor(JtJ, lam)
 
         def body(carry):
             lam, state, ok, tries = carry
             lam = jnp.where(lam == 0.0,
-                            jnp.asarray(lambda_initial, Jt_x.dtype),
+                            jnp.asarray(lambda_initial, rc.dtype),
                             lam * 10.0)
             state, ok = self._try_factor(JtJ, lam)
             return (lam, state, ok, tries + 1)
@@ -135,8 +137,6 @@ class SchurNewtonSolver:
         lam, (Lv, Ls), ok, _ = jax.lax.while_loop(
             lambda c: (~c[2]) & (c[3] < lambda_max_tries),
             body, (lam, state0, ok0, jnp.asarray(0, jnp.int32)))
-
-        rc, rp = schur_split(Jt_x, self.nc, self.n_points, self.block_size)
 
         def vsolve(b):
             # (np, bs, k) batched solve with the point-block factors
@@ -153,10 +153,49 @@ class SchurNewtonSolver:
         rp2 = rp - jnp.einsum('cpb,c->pb', JtJ.W, dc,
                               preferred_element_type=rc.dtype)
         dp = vsolve(rp2[..., None])[..., 0]
-        u = jnp.concatenate([dc, dp.reshape(-1)])
-        step = -u
+        return dc, dp, lam, ok
+
+    def gauss_newton(self, JtJ: SchurJtJ, Jt_x, lam, *, lambda_initial,
+                     lambda_max_tries) -> GNResult:
+        rc, rp = schur_split(Jt_x, self.nc, self.n_points, self.block_size)
+        dc, dp, lam, ok = self._gn_core(JtJ, rc, rp, lam, lambda_initial,
+                                        lambda_max_tries)
+        step = -jnp.concatenate([dc, dp.reshape(-1)])
         return GNResult(step=step, norm2_step=jnp.dot(step, step),
                         lam=lam, ok=ok)
+
+
+@dataclasses.dataclass(frozen=True)
+class TreeSchurNewtonSolver(SchurNewtonSolver):
+    """SchurNewtonSolver over structured pytree states
+    {"c": (nc,), "q": (n_points, bs)} instead of one flat vector.
+
+    The point of the structure: each leaf carries its OWN mesh sharding, so
+    the camera block stays replicated while the point states/gradients/
+    steps shard over a "pts" mesh axis together with the SchurJtJ W/V
+    blocks — GSPMD then keeps the whole solve distributed (per-point work
+    local, one all-reduce for the nc-sized reduced system per
+    factorization). A flat (nc + np*bs,) vector cannot express that mixed
+    sharding, which is why solver states are pytrees (SURVEY.md section
+    2.2: row-block partitioning + Schur elimination via collectives)."""
+
+    def quad_form(self, JtJ: SchurJtJ, v):
+        vc, vp = v["c"], v["q"]
+        uv = jnp.dot(vc, jnp.matmul(JtJ.U, vc,
+                                    preferred_element_type=vc.dtype))
+        wv = jnp.einsum('cpb,pb->c', JtJ.W, vp,
+                        preferred_element_type=vc.dtype)
+        vv = jnp.einsum('pb,pbk,pk->', vp, JtJ.V, vp,
+                        preferred_element_type=vc.dtype)
+        return uv + 2.0 * jnp.dot(vc, wv) + vv
+
+    def gauss_newton(self, JtJ: SchurJtJ, Jt_x, lam, *, lambda_initial,
+                     lambda_max_tries) -> GNResult:
+        dc, dp, lam, ok = self._gn_core(JtJ, Jt_x["c"], Jt_x["q"], lam,
+                                        lambda_initial, lambda_max_tries)
+        step = {"c": -dc, "q": -dp}
+        n2 = jnp.dot(dc, dc) + jnp.sum(dp * dp)
+        return GNResult(step=step, norm2_step=n2, lam=lam, ok=ok)
 
 
 @dataclasses.dataclass(frozen=True)

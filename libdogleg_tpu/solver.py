@@ -153,15 +153,18 @@ class _Carry(NamedTuple):
     history: Optional[History]
 
 
-def _tree_where(pred, a, b):
-    return jax.tree_util.tree_map(
-        lambda x, y: jnp.where(pred, x, y), a, b)
+from libdogleg_tpu.ops.treevec import (tree_add as _tree_add,
+                                       tree_any_exceeds as _tree_any_exceeds,
+                                       tree_dot as _tree_dot,
+                                       tree_scale as _tree_scale,
+                                       tree_where as _tree_where,
+                                       tree_zeros_like as _tree_zeros_like)
 
 
 def _grad_converged(Jt_x, threshold):
     """Criterion 1 (reference dogleg.c:1071-1082): converged iff no gradient
     element exceeds the threshold in absolute value."""
-    return ~jnp.any(jnp.abs(Jt_x) > threshold)
+    return ~_tree_any_exceeds(Jt_x, threshold)
 
 
 def _empty_history(cap: int, dtype) -> History:
@@ -229,13 +232,12 @@ def init_solver_state(products_fn: ProductsFn,
     slices.
     """
     prm = parameters if parameters is not None else DoglegParameters()
-    p0 = jnp.asarray(p0)
-    dtype = p0.dtype
-    n = p0.shape[-1]
+    p0 = jax.tree_util.tree_map(jnp.asarray, p0)
+    dtype = jax.tree_util.tree_leaves(p0)[0].dtype
     max_attempts = prm.resolved_max_attempts()
 
     init = products_fn(p0)
-    zero_vec = jnp.zeros((n,), dtype)
+    zero_vec = _tree_zeros_like(p0)
     f_false = jnp.asarray(False)
 
     converged0 = _grad_converged(init.Jt_x, prm.Jt_x_threshold)
@@ -280,7 +282,7 @@ def run_solver(products_fn: ProductsFn,
     prm = parameters if parameters is not None else DoglegParameters()
     ns = newton_solver if newton_solver is not None else DenseNewtonSolver()
     max_attempts = prm.resolved_max_attempts()
-    dtype = state.p.dtype
+    dtype = jax.tree_util.tree_leaves(state.p)[0].dtype
     f_true = jnp.asarray(True)
     f_false = jnp.asarray(False)
 
@@ -295,9 +297,9 @@ def run_solver(products_fn: ProductsFn,
         def fresh_cauchy(_):
             # k = -norm2(Jt x) / norm2(J Jt x) with the denominator as the
             # JtJ quadratic form (reference dogleg.c:536-610).
-            n2_jtx = jnp.dot(c.Jt_x, c.Jt_x)
+            n2_jtx = _tree_dot(c.Jt_x, c.Jt_x)
             k = -n2_jtx / ns.quad_form(c.JtJ, c.Jt_x)
-            return k * c.Jt_x, k * k * n2_jtx
+            return _tree_scale(k, c.Jt_x), k * k * n2_jtx
         cauchy, norm2_cauchy = jax.lax.cond(
             c.have_cauchy,
             lambda _: (c.cauchy, c.norm2_cauchy),
@@ -330,9 +332,9 @@ def run_solver(products_fn: ProductsFn,
         interp = dops.interpolated_step(cauchy, norm2_cauchy, gn, tr)
 
         inv_cauchy_len = tr / jnp.sqrt(norm2_cauchy)
-        step = jnp.where(
-            use_cauchy, cauchy * inv_cauchy_len,
-            jnp.where(use_gn, gn, interp.step))
+        step = _tree_where(
+            use_cauchy, _tree_scale(inv_cauchy_len, cauchy),
+            _tree_where(use_gn, gn, interp.step))
         # NOTE: for the truncated-Cauchy case the reference records the
         # *unclamped* Cauchy length as norm2_step (dogleg.c:1200), even though
         # the actual step is scaled to the region edge; norm2_step is only
@@ -348,16 +350,17 @@ def run_solver(products_fn: ProductsFn,
                       int(StepType.INTERPOLATED))).astype(jnp.int32)
 
         # Linearized model decrease (reference dogleg.c:1085-1165).
-        expected = -2.0 * jnp.dot(c.Jt_x, step) - ns.quad_form(c.JtJ, step)
+        expected = (-2.0 * _tree_dot(c.Jt_x, step)
+                    - ns.quad_form(c.JtJ, step))
 
         # --- Criterion 2 (reference dogleg.c:1287-1296): a tiny step means
         # we are done, *without* evaluating the trial point.
-        small_step = ~jnp.any(jnp.abs(step) > prm.update_threshold)
+        small_step = ~_tree_any_exceeds(step, prm.update_threshold)
 
         # --- Evaluate the trial point (reference dogleg.c:1411). Under jit
         # both cond branches are traced but only one runs; under vmap this
         # becomes a select and the spurious evaluation is masked out below.
-        p_new = c.p + step
+        p_new = _tree_add(c.p, step)
         trial = jax.lax.cond(
             small_step | ~fac_ok,
             lambda _: Products(norm2_x=c.norm2_x, Jt_x=c.Jt_x, JtJ=c.JtJ),
@@ -467,7 +470,7 @@ def run_solver(products_fn: ProductsFn,
 
             # Direction change vs the step into the current point (reference
             # dogleg.c:1271-1284), with the same +-1 clamping.
-            cos_dc = jnp.dot(step, c.prev_step) / jnp.sqrt(
+            cos_dc = _tree_dot(step, c.prev_step) / jnp.sqrt(
                 norm2_step * c.norm2_prev_step)
             dc_deg = jnp.where(
                 cos_dc >= 1.0, 0.0,

@@ -130,3 +130,54 @@ def test_two_axis_mesh_dp_by_meas(measurements):
     # vmap over starts; shard_map inside handles the meas axis.
     r = jax.jit(jax.vmap(lambda q: optimize(problem, q)))(p0s)
     assert np.all(np.abs(np.asarray(r.p) - sp.P_TRUE) < 5e-2)
+
+
+def test_tree_state_schur_matches_flat():
+    """Pytree solver states: the {"c", "q"} structured BA solve takes the
+    same trajectory as the flat-vector solve."""
+    from libdogleg_tpu.models import bundle_adjustment
+    ba = bundle_adjustment.make_synthetic(seed=3, nc=8, n_points=64,
+                                          block_size=3, k_obs=4,
+                                          dtype=jnp.float64, noise=0.05)
+    r_flat = solve_products(ba.products, jnp.zeros(ba.nstate),
+                            DoglegParameters(),
+                            newton_solver=ba.newton_solver())
+    r_tree = solve_products(ba.products_tree, ba.p0_tree(),
+                            DoglegParameters(),
+                            newton_solver=ba.tree_newton_solver())
+    p_tree = np.concatenate([np.asarray(r_tree.p["c"]),
+                             np.asarray(r_tree.p["q"]).reshape(-1)])
+    np.testing.assert_allclose(p_tree, np.asarray(r_flat.p),
+                               rtol=1e-12, atol=1e-14)
+    assert int(r_tree.step_count) == int(r_flat.step_count)
+
+
+def test_sharded_schur_elimination():
+    """Distributed Schur elimination (BASELINE config 4's multi-chip form):
+    point data and states sharded over a 'pts' mesh axis, camera block
+    replicated; GSPMD keeps the solve distributed (all-reduce for the
+    reduced system) and the result matches the single-device solve."""
+    from libdogleg_tpu.models import bundle_adjustment
+    from libdogleg_tpu.parallel import make_mesh
+    ba = bundle_adjustment.make_synthetic(seed=3, nc=8, n_points=64,
+                                          block_size=3, k_obs=4,
+                                          dtype=jnp.float64, noise=0.05)
+    r_ref = solve_products(ba.products, jnp.zeros(ba.nstate),
+                           DoglegParameters(),
+                           newton_solver=ba.newton_solver())
+    mesh = make_mesh(("pts",), shape=(8,))
+    ba_s = ba.shard(mesh)
+    p0s = ba.shard_p_tree(ba.p0_tree(), mesh)
+    f = jax.jit(lambda p0: solve_products(
+        ba_s.products_tree, p0, DoglegParameters(),
+        newton_solver=ba_s.tree_newton_solver()))
+    r = f(p0s)
+    p_flat = np.concatenate([np.asarray(r.p["c"]),
+                             np.asarray(r.p["q"]).reshape(-1)])
+    np.testing.assert_allclose(p_flat, np.asarray(r_ref.p),
+                               rtol=1e-9, atol=1e-11)
+    # the point states must still be sharded over the mesh, and the
+    # compiled program must contain collectives (it actually distributed)
+    assert "pts" in str(r.p["q"].sharding)
+    txt = f.lower(p0s).compile().as_text()
+    assert "all-reduce" in txt
