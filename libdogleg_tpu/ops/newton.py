@@ -214,11 +214,20 @@ class SparseNewtonSolver:
 
     @staticmethod
     def analyze(rows, cols, nb: int, b: int = 1,
-                ordering="mindeg",
+                ordering=None,
                 amalgamate: int = 1) -> "SparseNewtonSolver":
         """amalgamate > 1 merges that many consecutive (post-ordering)
         block columns into supernodes (libdogleg_tpu.supernodal): fewer,
-        fatter dependency levels — the MXU-friendly regime for small b."""
+        fatter dependency levels — the MXU-friendly regime for small b.
+
+        ordering defaults to the right companion of the factorization
+        style: "mindeg" (fill-minimizing) for the simplicial path, "rcm"
+        (bandwidth-minimizing, keeps grouped supernodes banded) when
+        amalgamating — minimum degree scatters structurally-related
+        columns and makes fixed-width grouping couple distant nodes
+        (measured 7x regression)."""
+        if ordering is None:
+            ordering = "rcm" if amalgamate > 1 else "mindeg"
         if amalgamate > 1:
             from libdogleg_tpu import supernodal as sn
             return SparseNewtonSolver(

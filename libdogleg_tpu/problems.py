@@ -69,7 +69,8 @@ class SparseProblem:
     f: Callable[[jnp.ndarray], Tuple[jnp.ndarray, jnp.ndarray]]
     structure: BCSRStructure
     jtj: str = "dense"
-    ordering: object = "mindeg"
+    # None picks the right companion: "mindeg" simplicial, "rcm" amalgamated
+    ordering: object = None
     amalgamate: int = 1
     _jtj_sched: object = dataclasses.field(init=False, default=None,
                                            repr=False, compare=False)

@@ -59,11 +59,14 @@ class AmalgamatedSymbolic:
 
 
 def analyze(rows: np.ndarray, cols: np.ndarray, nb: int, b: int = 1,
-            ordering="mindeg", amalgamate: int = 4) -> AmalgamatedSymbolic:
+            ordering="rcm", amalgamate: int = 4) -> AmalgamatedSymbolic:
     """Symbolic analysis with supernodal amalgamation.
 
     Args: as sparse_cholesky.analyze, plus amalgamate = S, the number of
-    consecutive (post-ordering) block columns merged per supernode.
+    consecutive (post-ordering) block columns merged per supernode. The
+    default ordering is "rcm": amalgamation needs consecutive elimination
+    columns to be graph-adjacent; minimum degree scatters them (measured
+    7x slower than RCM when grouped).
     """
     S = int(amalgamate)
     assert S >= 1
