@@ -30,9 +30,10 @@ PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
                        update_threshold=1e-5, trustregion_threshold=1e-5)
 
 
-def timeit(fn, *args, reps=None):
+def timeit(fn, *args):
     """(per-call device seconds, one real output). Dependent-loop timing —
-    see utils.benchtime for why naive wall-clock is wrong here."""
+    see utils.benchtime for why naive wall-clock is wrong here; rep counts
+    are self-budgeted by measure_loop."""
     out = fn(*args)
     fetch(out)
     return measure_loop(fn, *args), out
@@ -79,7 +80,7 @@ def config3_batched(batch=10000):
         jax.random.split(jax.random.PRNGKey(1), batch))
     f = jax.jit(jax.vmap(
         lambda p0, m: solve_products(lambda p: products(p, m), p0, PRM).p))
-    dt, out = timeit(f, p0s, meas, reps=3)
+    dt, out = timeit(f, p0s, meas)
     err = np.abs(np.asarray(out) - sp.P_TRUE[None])
     emit("3-batched-10k", "batched_solves_per_s", batch / dt, "solves/s",
          vs_baseline=round(batch / dt / 1e4, 2),
@@ -93,7 +94,7 @@ def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
     f = jax.jit(lambda p0: solve_products(ba.products, p0, PRM,
                                           newton_solver=ba.newton_solver()
                                           ).norm2_x)
-    dt, out = timeit(f, jnp.zeros(ba.nstate, DTYPE), reps=5)
+    dt, out = timeit(f, jnp.zeros(ba.nstate, DTYPE))
     emit("4-ba-schur", "solve_latency", dt * 1e3, "ms",
          nstate=ba.nstate, nmeas=ba.nmeasurements,
          converged=bool(np.asarray(out) < 1e-3))
@@ -112,7 +113,7 @@ def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
         return factors
 
     f = jax.jit(pass_)
-    dt, out = timeit(f, J, x, JtJ, reps=5)
+    dt, out = timeit(f, J, x, JtJ)
     emit("5-outlierness", "features_per_s",
          (nmeas // feature_size) / dt, "features/s",
          nmeas=nmeas, nstate=nstate)

@@ -115,10 +115,11 @@ def profile_op_summary(fn, *args, logdir: str = "/tmp/libdogleg_tpu_trace",
     if not files:
         return "no trace captured"
     data = json.loads(gzip.open(files[-1]).read())
-    events = [e for e in data.get("traceEvents", [])
+    all_events = data.get("traceEvents", [])
+    events = [e for e in all_events
               if e.get("ph") == "X" and e.get("dur")]
     procs = {e["pid"]: str(e["args"].get("name"))
-             for e in data["traceEvents"]
+             for e in all_events
              if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev_pids = [p for p, nm in procs.items()
                 if "TPU" in nm or "GPU" in nm or "XLA" in nm]

@@ -51,6 +51,23 @@ class BAProblem(NamedTuple):
         return (p[:self.nc],
                 p[self.nc:].reshape(self.n_points, self.block_size))
 
+    def _core(self, c, q):
+        """Residual + structured gradient + arrow JtJ — shared by the flat
+        and pytree product forms so the two can never drift apart."""
+        dt = c.dtype
+        r = (jnp.einsum('pkb,pb->pk', self.A, q)
+             + jnp.einsum('pkc,c->pk', self.B, c) - self.obs)
+        gc = jnp.einsum('pkc,pk->c', self.B, r, preferred_element_type=dt)
+        gq = jnp.einsum('pkb,pk->pb', self.A, r, preferred_element_type=dt)
+        JtJ = SchurJtJ(
+            U=jnp.einsum('pkc,pkd->cd', self.B, self.B,
+                         preferred_element_type=dt),
+            W=jnp.einsum('pkc,pkb->cpb', self.B, self.A,
+                         preferred_element_type=dt),
+            V=jnp.einsum('pkb,pkd->pbd', self.A, self.A,
+                         preferred_element_type=dt))
+        return r, gc, gq, JtJ
+
     def residuals(self, p):
         c, q = self.split(p)
         return (jnp.einsum('pkb,pb->pk', self.A, q)
@@ -60,22 +77,11 @@ class BAProblem(NamedTuple):
         """One reduction over all observations into the arrow-structured
         Gauss-Newton system — the dense-products formulation (reference
         dogleg.h:34-45) with a structured JtJ the reference cannot express."""
-        dt = p.dtype
-        r = self.residuals(p)
-        return Products(
-            norm2_x=jnp.sum(r * r),
-            Jt_x=jnp.concatenate([
-                jnp.einsum('pkc,pk->c', self.B, r,
-                           preferred_element_type=dt),
-                jnp.einsum('pkb,pk->pb', self.A, r,
-                           preferred_element_type=dt).ravel()]),
-            JtJ=SchurJtJ(
-                U=jnp.einsum('pkc,pkd->cd', self.B, self.B,
-                             preferred_element_type=dt),
-                W=jnp.einsum('pkc,pkb->cpb', self.B, self.A,
-                             preferred_element_type=dt),
-                V=jnp.einsum('pkb,pkd->pbd', self.A, self.A,
-                             preferred_element_type=dt)))
+        c, q = self.split(p)
+        r, gc, gq, JtJ = self._core(c, q)
+        return Products(norm2_x=jnp.sum(r * r),
+                        Jt_x=jnp.concatenate([gc, gq.ravel()]),
+                        JtJ=JtJ)
 
     def newton_solver(self) -> SchurNewtonSolver:
         return SchurNewtonSolver(nc=self.nc, n_points=self.n_points,
@@ -91,21 +97,10 @@ class BAProblem(NamedTuple):
                 + jnp.einsum('pkc,c->pk', self.B, p["c"]) - self.obs)
 
     def products_tree(self, p) -> Products:
-        dt = p["c"].dtype
-        r = self.residuals_tree(p)
-        return Products(
-            norm2_x=jnp.sum(r * r),
-            Jt_x={"c": jnp.einsum('pkc,pk->c', self.B, r,
-                                  preferred_element_type=dt),
-                  "q": jnp.einsum('pkb,pk->pb', self.A, r,
-                                  preferred_element_type=dt)},
-            JtJ=SchurJtJ(
-                U=jnp.einsum('pkc,pkd->cd', self.B, self.B,
-                             preferred_element_type=dt),
-                W=jnp.einsum('pkc,pkb->cpb', self.B, self.A,
-                             preferred_element_type=dt),
-                V=jnp.einsum('pkb,pkd->pbd', self.A, self.A,
-                             preferred_element_type=dt)))
+        r, gc, gq, JtJ = self._core(p["c"], p["q"])
+        return Products(norm2_x=jnp.sum(r * r),
+                        Jt_x={"c": gc, "q": gq},
+                        JtJ=JtJ)
 
     def tree_newton_solver(self):
         from libdogleg_tpu.ops.newton import TreeSchurNewtonSolver

@@ -85,6 +85,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
             return None
         try:
             _LIB = _bind(ctypes.CDLL(str(so)))
-        except OSError:
+        except (OSError, AttributeError):
+            # AttributeError: a stale cached .so missing newly added
+            # symbols — fall back to the pure-Python implementations
             _LIB = None
         return _LIB

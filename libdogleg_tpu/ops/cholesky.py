@@ -43,41 +43,47 @@ def _try_factor(JtJ: jnp.ndarray, lam: jnp.ndarray):
     return L, ok
 
 
+def escalating_lambda(try_factor, lam, dtype, *,
+                      lambda_initial: float = 1e-10,
+                      lambda_max_tries: int = 60):
+    """The reference's permanent escalating-lambda loop, shared by every
+    factorization backend (dense, block-sparse, supernodal, Schur): try the
+    current lambda; while singular, lambda <- lambda_initial if zero else
+    lambda*10, and retry (reference dogleg.c:670-676, 811-815). Bounded at
+    lambda_max_tries escalations; ok=False if still singular (the reference
+    ASSERT-exits on non-finite lambda, dogleg.c:673 — a batched TPU solve
+    flags the element as failed instead).
+
+    try_factor(lam) -> (state_pytree, ok). Returns (state, lam, ok).
+    """
+    lam = jnp.asarray(lam, dtype)
+    state0, ok0 = try_factor(lam)
+
+    def body(carry):
+        lam, _, _, tries = carry
+        lam = jnp.where(lam == 0.0, jnp.asarray(lambda_initial, dtype),
+                        lam * 10.0)
+        state, ok = try_factor(lam)
+        return (lam, state, ok, tries + 1)
+
+    lam, state, ok, _ = jax.lax.while_loop(
+        lambda c: (~c[2]) & (c[3] < lambda_max_tries),
+        body,
+        (lam, state0, ok0, jnp.asarray(0, jnp.int32)),
+    )
+    return state, lam, ok
+
+
 def factorize_jtj(JtJ: jnp.ndarray,
                   lam: jnp.ndarray,
                   *,
                   lambda_initial: float = 1e-10,
                   lambda_max_tries: int = 60) -> Factorization:
-    """Cholesky-factorize JtJ + lam*I, escalating lam on singularity.
-
-    Mirrors reference dogleg_computeJtJfactorization (dogleg.c:634-820): try
-    the current lambda; while singular, lambda <- lambda_initial if zero else
-    lambda*10, and retry (reference dogleg.c:670-676, 811-815). Bounded at
-    lambda_max_tries escalations; `ok=False` if still singular (the reference
-    ASSERT-exits on non-finite lambda, dogleg.c:673 — a batched TPU solve
-    flags the element as failed instead).
-    """
-    lam = jnp.asarray(lam, dtype=JtJ.dtype)
-    L0, ok0 = _try_factor(JtJ, lam)
-
-    def cond(carry):
-        _, ok, tries = carry[1], carry[2], carry[3]
-        del _
-        return (~ok) & (tries < lambda_max_tries)
-
-    def body(carry):
-        lam, _, _, tries = carry
-        lam = jnp.where(lam == 0.0,
-                        jnp.asarray(lambda_initial, JtJ.dtype),
-                        lam * 10.0)
-        L, ok = _try_factor(JtJ, lam)
-        return (lam, L, ok, tries + 1)
-
-    lam, L, ok, _ = jax.lax.while_loop(
-        lambda c: (~c[2]) & (c[3] < lambda_max_tries),
-        body,
-        (lam, L0, ok0, jnp.asarray(0, jnp.int32)),
-    )
+    """Cholesky-factorize JtJ + lam*I, escalating lam on singularity
+    (mirrors reference dogleg_computeJtJfactorization, dogleg.c:634-820)."""
+    L, lam, ok = escalating_lambda(
+        lambda lm: _try_factor(JtJ, lm), lam, JtJ.dtype,
+        lambda_initial=lambda_initial, lambda_max_tries=lambda_max_tries)
     return Factorization(L=L, lam=lam, ok=ok)
 
 

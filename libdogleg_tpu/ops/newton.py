@@ -123,20 +123,10 @@ class SchurNewtonSolver:
                  lambda_max_tries):
         """Factor (with the escalating-lambda loop) and solve for the
         camera/point step pair (dc, dp)."""
-        lam = jnp.asarray(lam, dtype=rc.dtype)
-        state0, ok0 = self._try_factor(JtJ, lam)
-
-        def body(carry):
-            lam, state, ok, tries = carry
-            lam = jnp.where(lam == 0.0,
-                            jnp.asarray(lambda_initial, rc.dtype),
-                            lam * 10.0)
-            state, ok = self._try_factor(JtJ, lam)
-            return (lam, state, ok, tries + 1)
-
-        lam, (Lv, Ls), ok, _ = jax.lax.while_loop(
-            lambda c: (~c[2]) & (c[3] < lambda_max_tries),
-            body, (lam, state0, ok0, jnp.asarray(0, jnp.int32)))
+        (Lv, Ls), lam, ok = chol.escalating_lambda(
+            lambda lm: self._try_factor(JtJ, lm), lam, rc.dtype,
+            lambda_initial=lambda_initial,
+            lambda_max_tries=lambda_max_tries)
 
         def vsolve(b):
             # (np, bs, k) batched solve with the point-block factors

@@ -100,15 +100,16 @@ def rcm_ordering(rows: np.ndarray, cols: np.ndarray, n: int) -> np.ndarray:
     deg = np.array([len(a) for a in adj])
     for a in adj:
         a.sort(key=lambda v: deg[v])
+    import collections
     visited = np.zeros(n, bool)
     order = []
     for start in np.argsort(deg, kind="stable"):
         if visited[start]:
             continue
-        queue = [int(start)]
+        queue = collections.deque([int(start)])
         visited[start] = True
         while queue:
-            v = queue.pop(0)
+            v = queue.popleft()
             order.append(v)
             for u in adj[v]:
                 if not visited[u]:
@@ -121,8 +122,13 @@ def resolve_ordering(ordering, rows: np.ndarray, cols: np.ndarray,
                      n: int) -> np.ndarray:
     """Normalize an ordering spec — "mindeg"/"amd", "rcm", "natural", or an
     explicit permutation array — to a perm array (perm[k] = original index
-    k-th in elimination order)."""
-    if ordering is None or ordering == "natural":
+    k-th in elimination order). None means "the default fill-reducing
+    choice" (mindeg), NOT natural: higher layers pass None through for
+    auto-selection, and silently disabling fill reduction is the one wrong
+    answer."""
+    if ordering is None:
+        ordering = "mindeg"
+    if ordering == "natural":
         return np.arange(n, dtype=np.int32)
     if isinstance(ordering, str):
         if ordering in ("mindeg", "amd"):

@@ -542,18 +542,8 @@ def factorize_with_lambda(sym: SparseCholeskySymbolic,
                           lambda_max_tries: int = 60):
     """The permanent escalating-lambda loop around the sparse factorization
     (same semantics as the dense path / reference dogleg.c:656-677)."""
-    dtype = input_blocks.dtype
-    lam = jnp.asarray(lam, dtype)
-    L0, ok0 = factorize(sym, input_blocks, lam)
-
-    def body(carry):
-        lam, _, _, tries = carry
-        lam = jnp.where(lam == 0.0, jnp.asarray(lambda_initial, dtype),
-                        lam * 10.0)
-        L, ok = factorize(sym, input_blocks, lam)
-        return (lam, L, ok, tries + 1)
-
-    lam, L, ok, _ = jax.lax.while_loop(
-        lambda c: (~c[2]) & (c[3] < lambda_max_tries), body,
-        (lam, L0, ok0, jnp.asarray(0, jnp.int32)))
-    return L, lam, ok
+    from libdogleg_tpu.ops.cholesky import escalating_lambda
+    return escalating_lambda(
+        lambda lm: factorize(sym, input_blocks, lm), lam,
+        input_blocks.dtype, lambda_initial=lambda_initial,
+        lambda_max_tries=lambda_max_tries)

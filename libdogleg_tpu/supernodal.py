@@ -198,19 +198,8 @@ def factorize_with_lambda(sym: AmalgamatedSymbolic,
     The super blocks are built once; retries only refactor. NOTE: lam lands
     on the FULL super diagonal, including the virtual unit-padding states —
     harmless (they stay decoupled)."""
+    from libdogleg_tpu.ops.cholesky import escalating_lambda
     blocks = _super_blocks(sym, input_blocks)
-    dtype = blocks.dtype
-    lam = jnp.asarray(lam, dtype)
-    L0, ok0 = sc.factorize(sym.inner, blocks, lam)
-
-    def body(carry):
-        lam, _, _, tries = carry
-        lam = jnp.where(lam == 0.0, jnp.asarray(lambda_initial, dtype),
-                        lam * 10.0)
-        L, ok = sc.factorize(sym.inner, blocks, lam)
-        return (lam, L, ok, tries + 1)
-
-    lam, L, ok, _ = jax.lax.while_loop(
-        lambda c: (~c[2]) & (c[3] < lambda_max_tries), body,
-        (lam, L0, ok0, jnp.asarray(0, jnp.int32)))
-    return L, lam, ok
+    return escalating_lambda(
+        lambda lm: sc.factorize(sym.inner, blocks, lm), lam, blocks.dtype,
+        lambda_initial=lambda_initial, lambda_max_tries=lambda_max_tries)

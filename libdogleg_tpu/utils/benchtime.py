@@ -91,13 +91,18 @@ def measure_loop(kernel: Callable, *args,
         return time.perf_counter() - t0
 
     t_one = timed(1)       # ~ roundtrip + 1 iteration
-    # calibrate: how many iterations fit the budget?
+    # calibrate: how many iterations fit the budget? The delta can be
+    # swallowed by round-trip jitter for mid-speed kernels, so floor the
+    # estimate (bounding k2) and re-check after the k1 run.
     t_cal = timed(8)
-    est_iter = max((t_cal - t_one) / 7.0, 1e-6)
+    est_iter = max((t_cal - t_one) / 7.0, 1e-4)
     k2 = int(min(max(budget_s / est_iter, 2), 8192))
     k1 = max(k2 // 4, 1)
     if k2 <= 9:            # slow kernel: the calibration pair IS the answer
         return max((t_cal - t_one) / 7.0, 1e-12)
     t1 = timed(k1)
+    if t1 > 2.0 * budget_s:
+        # calibration underestimated (jitter); don't run 4x more reps
+        return max((t1 - t_one) / max(k1 - 1, 1), 1e-12)
     t2 = timed(k2)
     return max((t2 - t1) / (k2 - k1), 1e-12)
