@@ -187,3 +187,17 @@ def test_result_gradient_is_small_at_solution(measurements, p0):
     # At the optimum of this well-conditioned problem the gradient's inf-norm
     # should be at/below threshold scale.
     assert float(jnp.max(jnp.abs(r.Jt_x))) < 1e-6
+
+
+def test_factorization_failure_is_terminal():
+    """A JtJ that can never factor (NaN) exhausts the lambda escalation and
+    surfaces as FACTORIZATION_FAILED instead of hanging (the reference
+    ASSERT-exits the process at dogleg.c:673)."""
+    def products(p):
+        return Products(norm2_x=jnp.dot(p, p) + 1.0,
+                        Jt_x=p + 1.0,
+                        JtJ=jnp.full((2, 2), jnp.nan))
+
+    r = solve_products(products, jnp.zeros(2),
+                       DoglegParameters(lambda_max_tries=5))
+    assert int(r.reason) == int(StopReason.FACTORIZATION_FAILED)
