@@ -49,23 +49,29 @@ def get_outlierness_scale(norm2_x,
     return n_non / (4.0 * ((nstate + 1) * norm2_x / (n_non - nstate - 1)))
 
 
-def pseudoinverse_rows(J: jnp.ndarray, L: jnp.ndarray) -> jnp.ndarray:
+def pseudoinverse_rows(J: jnp.ndarray, L: jnp.ndarray,
+                       solve_fn=None) -> jnp.ndarray:
     """pinv(J) = inv(JtJ) J^T for ALL measurements at once, given the lower
     Cholesky factor L of JtJ (+ lambda). The reference computes this in
     chunks of 4 through CHOLMOD/dpptrs (pseudoinverse_J_dense/sparse,
     dogleg.c:1826-1921); on TPU it is one batched triangular solve.
+    solve_fn overrides the dense factor: any rhs->solution map for JtJ
+    (e.g. a block-sparse factor via
+    `lambda r: sparse_cholesky.solve(sym, Lb, r)` — multi-RHS supported).
     Returns (nstate, nmeas)."""
+    if solve_fn is not None:
+        return solve_fn(J.T)
     return cholesky_solve(L, J.T)
 
 
 def _feature_blocks(x: jnp.ndarray, J: jnp.ndarray, L: jnp.ndarray,
-                    feature_size: int):
+                    feature_size: int, solve_fn=None):
     """A_f = J_f inv(JtJ) J_f^T for every consecutive feature group, plus the
     grouped residuals. One batched solve + one batched einsum replaces the
     reference's chunks-of-4 pseudoinverse loop (dogleg.c:2427-2495)."""
     nmeas, nstate = J.shape
     nf = nmeas // feature_size
-    W = pseudoinverse_rows(J, L)                  # (nstate, nmeas)
+    W = pseudoinverse_rows(J, L, solve_fn)        # (nstate, nmeas)
     Jr = J.reshape(nf, feature_size, nstate)
     Wr = W.reshape(nstate, nf, feature_size)
     A = jnp.einsum('fim,mfj->fij', Jr, Wr,
@@ -80,7 +86,8 @@ def get_outlierness_factors(x: jnp.ndarray,
                             *,
                             feature_size: int = 1,
                             n_outlier_features: int = 0,
-                            scale=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+                            scale=None,
+                            solve_fn=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Outlierness factor per feature (reference dogleg_getOutliernessFactors,
     dogleg.c:2621-2667). Factors > 1.0 are outlier candidates.
 
@@ -93,6 +100,9 @@ def get_outlierness_factors(x: jnp.ndarray,
       n_outlier_features: already-marked outliers, excluded from the scale.
       scale: reuse a previously computed scale if not None (the reference's
         scale<0-means-recompute convention, dogleg.h:337).
+      solve_fn: optional JtJ solve to use instead of the dense factor L
+        (pass L=None): e.g. the block-sparse/supernodal factor of a large
+        problem — `lambda r: sparse_cholesky.solve(sym, L_blocks, r)`.
 
     Returns (factors (nfeatures,), scale).
     """
@@ -101,7 +111,7 @@ def get_outlierness_factors(x: jnp.ndarray,
     if scale is None:
         scale = get_outlierness_scale(jnp.dot(x, x), nmeas, nstate,
                                       n_outlier_features, feature_size)
-    A, xr = _feature_blocks(x, J, L, feature_size)
+    A, xr = _feature_blocks(x, J, L, feature_size, solve_fn)
 
     if feature_size == 1:
         # x^2 / (1 - A), guarded like the reference (dogleg.c:2319-2330).

@@ -491,20 +491,24 @@ def solve(sym: SparseCholeskySymbolic,
           L_blocks: jnp.ndarray,
           rhs: jnp.ndarray) -> jnp.ndarray:
     """Solve (P^T L L^T P) x = rhs with the block-sparse factor, P being the
-    fill-reducing permutation baked into the symbolic analysis. rhs is in the
-    caller's original block order: (nb*b,)."""
+    fill-reducing permutation baked into the symbolic analysis. rhs is in
+    the caller's original block order: (nb*b,), or (nb*b, k) for k
+    right-hand sides at once (the covariance/outlierness regime — the
+    reference pushes chunks of 4 through cholmod_solve, dogleg.c:2427)."""
     b = sym.b
     dtype = rhs.dtype
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+    k = rhs.shape[1]
     perm = jnp.asarray(sym.perm)
     # extra trash row absorbs padded ops
-    y = jnp.concatenate([rhs.reshape(sym.nb, b)[perm],
-                         jnp.zeros((1, b), dtype)], axis=0)
+    y = jnp.concatenate([rhs.reshape(sym.nb, b, k)[perm],
+                         jnp.zeros((1, b, k), dtype)], axis=0)
 
     def tri(Ld, v, transpose):
-        out = jax.lax.linalg.triangular_solve(
-            Ld, v[..., None], left_side=True, lower=True,
-            transpose_a=transpose)
-        return out[..., 0]
+        return jax.lax.linalg.triangular_solve(
+            Ld, v, left_side=True, lower=True, transpose_a=transpose)
 
     def phase(y, ss, transpose, transpose_coupling):
         def step(y, lev):
@@ -512,10 +516,10 @@ def solve(sym: SparseCholeskySymbolic,
             blk = L_blocks[ps]
             if transpose_coupling:
                 # backward: subtract L_{i,j}^T x_i from row j
-                contrib = jnp.einsum('kba,kb->ka', blk, y[pk],
+                contrib = jnp.einsum('nba,nbr->nar', blk, y[pk],
                                      preferred_element_type=dtype)
             else:
-                contrib = jnp.einsum('kab,kb->ka', blk, y[pk],
+                contrib = jnp.einsum('nab,nbr->nar', blk, y[pk],
                                      preferred_element_type=dtype)
             y = y.at[pj].add(-contrib)
             y = y.at[dr].set(tri(L_blocks[ds], y[dr], transpose))
@@ -530,8 +534,9 @@ def solve(sym: SparseCholeskySymbolic,
     y = phase(y, sym.fwd, transpose=False, transpose_coupling=False)
     y = phase(y, sym.bwd, transpose=True, transpose_coupling=True)
     # un-permute: original block perm[j] holds permuted solution block j
-    out = jnp.zeros((sym.nb, b), dtype).at[perm].set(y[:sym.nb])
-    return out.reshape(sym.nb * b)
+    out = jnp.zeros((sym.nb, b, k), dtype).at[perm].set(y[:sym.nb])
+    out = out.reshape(sym.nb * b, k)
+    return out[:, 0] if squeeze else out
 
 
 def factorize_with_lambda(sym: SparseCholeskySymbolic,

@@ -179,15 +179,22 @@ def factorize(sym: AmalgamatedSymbolic, input_blocks: jnp.ndarray,
 
 def solve(sym: AmalgamatedSymbolic, L_blocks: jnp.ndarray,
           rhs: jnp.ndarray) -> jnp.ndarray:
-    b, S = sym.b, sym.S
+    """rhs: (n,) or (n, k) for k right-hand sides at once."""
+    b = sym.b
     dtype = rhs.dtype
-    yb = rhs.reshape(sym.nb, b)[jnp.asarray(sym.perm)]
+    squeeze = rhs.ndim == 1
+    if squeeze:
+        rhs = rhs[:, None]
+    k = rhs.shape[1]
+    yb = rhs.reshape(sym.nb, b, k)[jnp.asarray(sym.perm)]
     yb = jnp.concatenate(
-        [yb, jnp.zeros((sym.nb_pad - sym.nb, b), dtype)], axis=0)
-    x = sc.solve(sym.inner, L_blocks, yb.reshape(-1))
-    xb = x.reshape(sym.nb_pad, b)[:sym.nb]
-    out = jnp.zeros((sym.nb, b), dtype).at[jnp.asarray(sym.perm)].set(xb)
-    return out.reshape(sym.nb * b)
+        [yb, jnp.zeros((sym.nb_pad - sym.nb, b, k), dtype)], axis=0)
+    x = sc.solve(sym.inner, L_blocks, yb.reshape(sym.nb_pad * b, k))
+    xb = x.reshape(sym.nb_pad, b, k)[:sym.nb]
+    out = jnp.zeros((sym.nb, b, k), dtype).at[
+        jnp.asarray(sym.perm)].set(xb)
+    out = out.reshape(sym.nb * b, k)
+    return out[:, 0] if squeeze else out
 
 
 def factorize_with_lambda(sym: AmalgamatedSymbolic,

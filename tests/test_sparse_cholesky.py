@@ -306,3 +306,58 @@ def test_sparse_problem_amalgamated_end_to_end():
     assert int(r_s.step_count) == int(r_d.step_count)
     np.testing.assert_allclose(np.asarray(r_s.p), np.asarray(r_d.p),
                                rtol=1e-8, atol=1e-9)
+
+
+@pytest.mark.parametrize("backend", ["simplicial", "supernodal"])
+def test_multi_rhs_solve(backend):
+    """Multi-RHS solves against the sparse factors (the covariance/
+    outlierness regime; reference chunks of 4 through cholmod_solve,
+    dogleg.c:2427)."""
+    from libdogleg_tpu import supernodal as sn
+    dense, blocks, rows, cols = _random_spd_pattern(31, 10, 3, 16)
+    rng = np.random.default_rng(6)
+    RHS = jnp.asarray(rng.normal(size=(30, 7)))
+    if backend == "simplicial":
+        sym = sc.analyze(rows, cols, 10, 3)
+        L, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
+        X = sc.solve(sym, L, RHS)
+    else:
+        sym = sn.analyze(rows, cols, 10, 3, amalgamate=4)
+        L, ok = sn.factorize(sym, blocks, jnp.asarray(0.0))
+        X = sn.solve(sym, L, RHS)
+    assert bool(ok)
+    np.testing.assert_allclose(dense @ np.asarray(X), np.asarray(RHS),
+                               rtol=1e-8, atol=1e-10)
+
+
+def test_outlierness_with_sparse_factor():
+    """The outlierness suite runs off a block-sparse factorization via
+    solve_fn (no dense JtJ factor), matching the dense-factor result."""
+    from libdogleg_tpu.analysis import get_outlierness_factors
+    from libdogleg_tpu.models import grid_mrf
+    from libdogleg_tpu.ops.bcsr import jtj_lower_schedule
+    from libdogleg_tpu.ops.cholesky import factorize_jtj
+
+    m = grid_mrf.make_grid_mrf(width=5, height=4, block_size=2)
+    prob = m.problem(jtj="sparse")
+    p = jnp.asarray(np.random.default_rng(2).normal(size=(m.nstate,)) * .1)
+    x, Jd = prob.full(p)
+    # dense-factor reference
+    fac = factorize_jtj(jnp.asarray(np.asarray(Jd).T @ np.asarray(Jd)),
+                        jnp.asarray(0.0))
+    f_ref, _ = get_outlierness_factors(x, Jd, fac.L, feature_size=2)
+    # sparse factor via solve_fn
+    ns = prob.default_newton_solver()
+    _, values = prob.f(p)
+    from libdogleg_tpu.ops.bcsr import BCSRJacobian, bcsr_jtj_lower_blocks
+    blocks = bcsr_jtj_lower_blocks(
+        BCSRJacobian(structure=prob.structure, values=values),
+        prob._jtj_sched)
+    L, lam, ok = sc.factorize_with_lambda(ns.symbolic, blocks,
+                                          jnp.asarray(0.0))
+    assert bool(ok)
+    f_sp, _ = get_outlierness_factors(
+        x, Jd, None, feature_size=2,
+        solve_fn=lambda r: sc.solve(ns.symbolic, L, r))
+    np.testing.assert_allclose(np.asarray(f_sp), np.asarray(f_ref),
+                               rtol=1e-8, atol=1e-10)
