@@ -94,4 +94,16 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    import os
+    import subprocess
+    try:
+        main()
+    except Exception as e:  # noqa: BLE001 — transient tunneled-TPU faults
+        if os.environ.get("BENCH_RETRIED") == "1":
+            raise
+        # a TPU-worker crash poisons this process's backend; retry once in
+        # a fresh process so a transient fault doesn't zero the benchmark
+        print(f"# bench attempt failed ({type(e).__name__}: {e}); "
+              "retrying in a fresh process", file=sys.stderr)
+        env = dict(os.environ, BENCH_RETRIED="1")
+        sys.exit(subprocess.call([sys.executable, __file__], env=env))
