@@ -73,3 +73,23 @@ def test_supports_pallas_gate():
     assert supports_pallas(_block_sparse(5).structure)
     tiny = _block_sparse(6, bm=2, bn=3)
     assert not supports_pallas(tiny.structure)
+
+
+def test_pallas_cholesky_matches_lax():
+    from libdogleg_tpu.ops.pallas_chol import (pallas_cholesky,
+                                               pallas_tri_solve_right)
+    rng = np.random.default_rng(0)
+    k, n = 4, 32
+    A = rng.normal(size=(k, n, n)).astype(np.float32)
+    spd = jnp.asarray(A @ np.swapaxes(A, -1, -2)
+                      + n * np.eye(n, dtype=np.float32))
+    L, ok = pallas_cholesky(spd)
+    assert bool(np.asarray(ok).all())
+    np.testing.assert_allclose(np.asarray(L),
+                               np.linalg.cholesky(np.asarray(spd)),
+                               rtol=1e-4, atol=1e-4)
+    C = jnp.asarray(rng.normal(size=(k, 16, n)).astype(np.float32))
+    X = pallas_tri_solve_right(L, C)
+    np.testing.assert_allclose(
+        np.einsum('kmn,kjn->kmj', np.asarray(X), np.asarray(L)),
+        np.asarray(C), rtol=1e-4, atol=1e-4)
