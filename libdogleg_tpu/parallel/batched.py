@@ -70,3 +70,66 @@ def batched_optimize(products_fn,
     else:
         fn = jax.jit(fn)
     return fn(*args)
+
+
+def batched_optimize_compacted(products_fn,
+                               p0_batch: jnp.ndarray,
+                               parameters: Optional[DoglegParameters] = None,
+                               *,
+                               problem_data: Any = None,
+                               phase1_attempts: int = 10,
+                               compact_capacity: Optional[int] = None):
+    """Batched solves with straggler compaction.
+
+    A vmapped while_loop runs until the SLOWEST batch element terminates,
+    so the tail of hard problems makes the whole batch pay (measured: mean
+    8.5 attempts vs max 15 on the benchmark workload). This variant runs
+    phase1_attempts for everyone, gathers the unfinished minority into a
+    compact_capacity-sized buffer (default batch/4), finishes only those,
+    scatters back, and runs a final full-batch pass as a correctness
+    safety net — a no-op when the capacity guess held, a full finish (same
+    result, no speedup) when it did not. Exact in all cases.
+
+    Returns a SolveResult with the leading batch axis, identical to
+    batched_optimize.
+    """
+    from libdogleg_tpu.solver import (init_solver_state, result_from_state,
+                                      run_solver)
+    prm = parameters if parameters is not None else DoglegParameters()
+    batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
+    cap = compact_capacity or max(batch // 4, 1)
+
+    def products_of(data):
+        if problem_data is None:
+            return products_fn
+        return lambda p: products_fn(p, data)
+
+    @jax.jit
+    def run(p0s, data):
+        def init_one(p0, d):
+            return init_solver_state(products_of(d), p0, prm)
+
+        def seg_one(st, d, k):
+            return run_solver(products_of(d), st, prm, max_new_attempts=k)
+
+        st = jax.vmap(init_one)(p0s, data)
+        st = jax.vmap(lambda s, d: seg_one(s, d, phase1_attempts))(st, data)
+
+        # compact the stragglers (duplicate fill indices are harmless:
+        # run_solver freezes done states, so re-solving lane 0 rewrites
+        # its own identical state)
+        idx = jnp.nonzero(~st.done, size=cap, fill_value=0)[0]
+        take = lambda x: jax.tree_util.tree_map(lambda a: a[idx], x)
+        sub = jax.vmap(lambda s, d: run_solver(products_of(d), s, prm))(
+            take(st), take(data))
+        st = jax.tree_util.tree_map(
+            lambda full, part: full.at[idx].set(part), st, sub)
+
+        # safety net: finishes any element the capacity guess missed;
+        # otherwise a single (false) loop-condition check per element
+        st = jax.vmap(lambda s, d: seg_one(s, d, None))(st, data)
+        return result_from_state(st)
+
+    if problem_data is None:
+        problem_data = jnp.zeros((batch, 0))  # dummy; products_of ignores it
+    return run(p0_batch, problem_data)

@@ -181,3 +181,35 @@ def test_sharded_schur_elimination():
     assert "pts" in str(r.p["q"].sharding)
     txt = f.lower(p0s).compile().as_text()
     assert "all-reduce" in txt
+
+
+@pytest.mark.parametrize("cap_frac", [4, 64])
+def test_batched_compaction_exact(cap_frac):
+    """Straggler compaction returns bit-identical results to the plain
+    batched solve — including when the capacity guess is too small and the
+    safety-net full pass must finish the leftovers (cap_frac=64)."""
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    batch = 128
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters(max_iterations=8)
+    r_ref = batched_optimize(products, p0s, prm, problem_data=meas)
+    r = batched_optimize_compacted(products, p0s, prm, problem_data=meas,
+                                   phase1_attempts=3,
+                                   compact_capacity=batch // cap_frac)
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(r_ref.p),
+                               rtol=1e-12, atol=1e-13)
+    np.testing.assert_array_equal(np.asarray(r.step_count),
+                                  np.asarray(r_ref.step_count))
+    np.testing.assert_array_equal(np.asarray(r.reason),
+                                  np.asarray(r_ref.reason))
