@@ -78,8 +78,10 @@ def config3_batched(batch=10000):
     meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
         jax.random.split(jax.random.PRNGKey(1), batch))
-    f = jax.jit(jax.vmap(
-        lambda p0, m: solve_products(lambda p: products(p, m), p0, PRM).p))
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    f = jax.jit(lambda p0s, m: batched_optimize_compacted(
+        products, p0s, PRM, problem_data=m,
+        phase1_attempts=11, compact_capacity=batch // 16).p)
     dt, out = timeit(f, p0s, meas)
     err = np.abs(np.asarray(out) - sp.P_TRUE[None])
     emit("3-batched-10k", "batched_solves_per_s", batch / dt, "solves/s",
