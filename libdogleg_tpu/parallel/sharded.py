@@ -93,3 +93,76 @@ class MeasurementShardedProblem:
         fn = jax.shard_map(local, mesh=self.mesh,
                            in_specs=(P(), P(self.axis_name)), out_specs=P())
         return fn(p, self.data)
+
+
+@dataclasses.dataclass(frozen=True)
+class MeasurementShardedSparseProblem:
+    """Row-sharded measurements producing BLOCK-SPARSE JtJ: the large-
+    Nstate companion of MeasurementShardedProblem, for problems where
+    nstate^2 dense JtJ is the thing that doesn't fit.
+
+    Each device evaluates only its measurement rows (dense row slices of
+    J), contracts them into the static lower-triangle JtJ block pattern
+    (sums over measurements are exact under psum), and the solver consumes
+    the psum'd blocks through SparseNewtonSolver — measurement-axis
+    partitioning composed with the supernodal block-sparse Cholesky.
+
+    Attributes:
+      f: (p, data_shard) -> (x_shard, J_shard) per device, J_shard
+        (m_local, nstate) dense rows.
+      data: pytree with the measurement axis leading.
+      pattern_rows/pattern_cols: the stored lower-triangle JtJ block
+        pattern (block coords over nbcol = nstate // b blocks, rows >=
+        cols, diagonal present) — the same lists fed to
+        SparseNewtonSolver.analyze.
+      b: JtJ block size; mesh/axis_name: the measurement axis.
+
+    Pair with `newton_solver()`; Products.JtJ is the (nnzb, b, b) block
+    tensor in pattern order.
+    """
+    f: Callable[[jnp.ndarray, Any], Tuple[jnp.ndarray, jnp.ndarray]]
+    data: Any
+    pattern_rows: Any
+    pattern_cols: Any
+    b: int
+    mesh: Mesh
+    axis_name: str = "meas"
+    ordering: object = None
+    amalgamate: int = 1
+    _newton: object = dataclasses.field(init=False, default=None,
+                                        repr=False, compare=False)
+
+    def __post_init__(self):
+        import numpy as np
+        from libdogleg_tpu.ops.newton import SparseNewtonSolver
+        nbcol = int(np.max(self.pattern_cols)) + 1
+        nbcol = max(nbcol, int(np.max(self.pattern_rows)) + 1)
+        object.__setattr__(self, "_newton", SparseNewtonSolver.analyze(
+            self.pattern_rows, self.pattern_cols, nbcol, self.b,
+            self.ordering, amalgamate=self.amalgamate))
+
+    def newton_solver(self):
+        return self._newton
+
+    def products(self, p: jnp.ndarray) -> Products:
+        import numpy as np
+        pr = jnp.asarray(np.asarray(self.pattern_rows))
+        pc = jnp.asarray(np.asarray(self.pattern_cols))
+        b = self.b
+
+        def local(p, data_shard):
+            x, J = self.f(p, data_shard)
+            m_local = J.shape[0]
+            Jb = J.reshape(m_local, J.shape[1] // b, b)
+            # one gathered batched contraction per stored lower block
+            blocks = jnp.einsum('mkb,mkc->kbc', Jb[:, pr], Jb[:, pc],
+                                preferred_element_type=J.dtype)
+            partial = Products(norm2_x=dops.norm2(x),
+                               Jt_x=dops.jt_dot(J, x),
+                               JtJ=blocks)
+            return jax.tree_util.tree_map(
+                lambda a: jax.lax.psum(a, self.axis_name), partial)
+
+        fn = jax.shard_map(local, mesh=self.mesh,
+                           in_specs=(P(), P(self.axis_name)), out_specs=P())
+        return fn(p, self.data)
