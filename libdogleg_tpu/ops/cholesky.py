@@ -55,21 +55,31 @@ def escalating_lambda(try_factor, lam, dtype, *,
     flags the element as failed instead).
 
     try_factor(lam) -> (state_pytree, ok). Returns (state, lam, ok).
+
+    The factorization is traced exactly ONCE (inside the while_loop body;
+    the first iteration runs with the caller's lambda unescalated) — a
+    second out-of-loop instance would double the compile time of every
+    solve, which is minutes for large supernodal factorizations.
     """
     lam = jnp.asarray(lam, dtype)
-    state0, ok0 = try_factor(lam)
+    state_shape = jax.eval_shape(try_factor, lam)[0]
+    state0 = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), state_shape)
 
     def body(carry):
         lam, _, _, tries = carry
-        lam = jnp.where(lam == 0.0, jnp.asarray(lambda_initial, dtype),
-                        lam * 10.0)
+        # tries == -1 marks the first pass: factor with lam as given
+        lam = jnp.where(tries < 0, lam,
+                        jnp.where(lam == 0.0,
+                                  jnp.asarray(lambda_initial, dtype),
+                                  lam * 10.0))
         state, ok = try_factor(lam)
         return (lam, state, ok, tries + 1)
 
     lam, state, ok, _ = jax.lax.while_loop(
-        lambda c: (~c[2]) & (c[3] < lambda_max_tries),
+        lambda c: (c[3] < 0) | ((~c[2]) & (c[3] < lambda_max_tries)),
         body,
-        (lam, state0, ok0, jnp.asarray(0, jnp.int32)),
+        (lam, state0, jnp.asarray(False), jnp.asarray(-1, jnp.int32)),
     )
     return state, lam, ok
 
