@@ -497,3 +497,77 @@ def test_gradient_checker_parity(libref):
                 else:
                     tol = 1e-6 * max(abs(rep), 1e-3)
                     assert abs(float(a) - float(b)) < tol, (rr, orow)
+
+
+@pytest.mark.parametrize("tr0,downf,downt,upf,upt,maxit", [
+    (1e-2, 0.5, 0.3, 4.0, 0.9, 100),   # tiny initial region, slow shrink
+    (1e6, 0.05, 0.1, 1.5, 0.5, 100),   # huge region, aggressive shrink
+    (1.0, 0.1, 0.25, 2.0, 0.75, 3),    # default rules, tight iteration cap
+])
+def test_parameter_space_trace_parity(libref, tr0, downf, downt, upf, upt,
+                                      maxit):
+    """Trace parity holds across the parameter space, not just the
+    defaults: custom trust-region schedules and iteration caps produce
+    identical decisions in both solvers (exercises reject-heavy and
+    cap-limited trajectories)."""
+    import jax
+    import jax.numpy as jnp
+
+    from libdogleg_tpu import DenseProblem, DoglegParameters, optimize
+    from libdogleg_tpu.diagnostics import format_vnlog
+
+    A, B, C, d, p0 = random_problem(11, 6, 30)
+    residuals, jacobian = np_closures(A, B, C, d)
+    nstate, nmeas = 6, 30
+
+    @DENSE_CB
+    def cb(p_ptr, x_ptr, J_ptr, cookie):
+        p = np.ctypeslib.as_array(p_ptr, (nstate,)).copy()
+        np.ctypeslib.as_array(x_ptr, (nmeas,))[:] = residuals(p)
+        np.ctypeslib.as_array(J_ptr, (nmeas, nstate)).reshape(-1)[:] = \
+            jacobian(p).reshape(-1)
+
+    prm_c = DoglegParameters2()
+    libref.dogleg_getDefaultParameters(ctypes.byref(prm_c))
+    prm_c.dogleg_debug = DOGLEG_DEBUG_VNLOG
+    prm_c.trustregion0 = tr0
+    prm_c.trustregion_decrease_factor = downf
+    prm_c.trustregion_decrease_threshold = downt
+    prm_c.trustregion_increase_factor = upf
+    prm_c.trustregion_increase_threshold = upt
+    prm_c.max_iterations = maxit
+
+    p = np.ascontiguousarray(p0, np.float64).copy()
+    with tempfile.TemporaryFile() as tmp:
+        saved = os.dup(1)
+        os.dup2(tmp.fileno(), 1)
+        try:
+            libref.dogleg_optimize_dense2(
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                nstate, nmeas, cb, None, ctypes.byref(prm_c), None)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+        tmp.seek(0)
+        ref_rows = [l.split() for l in tmp.read().decode().splitlines()
+                    if l.strip() and not l.startswith("#")]
+
+    Aj, Bj, Cj, dj = map(jnp.asarray, (A, B, C, d))
+
+    def f(q):
+        t = jnp.tanh(Bj @ q)
+        return (Aj @ t + Cj @ q - dj,
+                Aj @ (((1.0 - t * t)[:, None]) * Bj) + Cj)
+
+    prm = DoglegParameters(
+        trustregion0=tr0, trustregion_decrease_factor=downf,
+        trustregion_decrease_threshold=downt,
+        trustregion_increase_factor=upf,
+        trustregion_increase_threshold=upt, max_iterations=maxit)
+    r = jax.jit(lambda q: optimize(DenseProblem(f=f), q, prm,
+                                   record_history=True))(jnp.asarray(p0))
+    our_rows = [l.split()
+                for l in format_vnlog(r.history, r.n_attempts).splitlines()[1:]
+                if l.strip()]
+    assert_traces_match(ref_rows, our_rows, rel=1e-4)
+    np.testing.assert_allclose(np.asarray(r.p), p, rtol=1e-5, atol=1e-7)
