@@ -11,10 +11,15 @@ families the TPU-scale benchmarks exercise:
   bundle_adjustment  — synthetic BA-style arrow systems: dense global
                        block + many small point blocks, solved via
                        Schur-complement elimination (BASELINE.md config 4)
+  pinhole_ba         — NONLINEAR pinhole-camera bundle adjustment
+                       (reprojection errors, autodiff per-observation
+                       Jacobians, pytree states) — the problem class
+                       libdogleg was actually written for
 """
 
-from libdogleg_tpu.models import bundle_adjustment, curve_fit, grid_mrf
+from libdogleg_tpu.models import (bundle_adjustment, curve_fit, grid_mrf,
+                                  pinhole_ba)
 from libdogleg_tpu.models import quadratic_surface
 
 __all__ = ["quadratic_surface", "curve_fit", "bundle_adjustment",
-           "grid_mrf"]
+           "grid_mrf", "pinhole_ba"]

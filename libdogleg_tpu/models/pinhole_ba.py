@@ -1,0 +1,208 @@
+"""Nonlinear pinhole-camera bundle adjustment: the flagship real workload.
+
+libdogleg was written for camera calibration / structure-from-motion
+(reference README.pod:5-15; its companion project mrcal). This model is
+that problem in its standard form: ncam pinhole cameras with axis-angle
+pose (6 dof each) observing npts 3-D points; residuals are 2-D
+reprojection errors. States:
+
+    p = {"c": (ncam * 6,) camera poses, "q": (npts, 3) points}
+
+Every observation's (2, 6) camera Jacobian and (2, 3) point Jacobian comes
+from forward-mode autodiff of the projection (vmapped over observations) —
+hand-deriving them is the error-prone step the C workflow needs
+dogleg_testGradient for. The arrow system (SchurJtJ) is assembled with
+segment-sums over observations, so the solve runs through
+TreeSchurNewtonSolver: batched 3x3 point eliminations + one dense reduced
+camera system, shardable over a 'pts' mesh axis like
+models.bundle_adjustment.
+
+Gauge freedom (global similarity) is fixed the standard way: the first
+camera's pose is pinned by a strong prior residual, and a weak prior on
+all points controls the scale/depth ambiguity.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from libdogleg_tpu.ops.newton import SchurJtJ, TreeSchurNewtonSolver
+from libdogleg_tpu.solver import Products
+
+
+def rodrigues(r, v):
+    """Rotate v by the axis-angle vector r (Rodrigues), autodiff-safe at
+    r -> 0 via the expanded small-angle form."""
+    theta2 = jnp.dot(r, r)
+    theta = jnp.sqrt(theta2 + 1e-24)
+    k = r / theta
+    c, s = jnp.cos(theta), jnp.sin(theta)
+    rotated = (v * c + jnp.cross(k, v) * s
+               + k * jnp.dot(k, v) * (1.0 - c))
+    return jnp.where(theta2 < 1e-16, v + jnp.cross(r, v), rotated)
+
+
+def project(cam, point, focal):
+    """Pinhole projection of one 3-D point through one camera.
+    cam = (rvec(3), tvec(3)); returns (2,) pixel coordinates."""
+    pc = rodrigues(cam[:3], point) + cam[3:]
+    return focal * pc[:2] / pc[2]
+
+
+class PinholeBA(NamedTuple):
+    ncam: int
+    npts: int
+    focal: float
+    cam_idx: jnp.ndarray     # (nobs,) camera of each observation
+    pt_idx: jnp.ndarray      # (nobs,) point of each observation
+    obs: jnp.ndarray         # (nobs, 2) observed pixels
+    w_prior_cam0: float      # pins camera 0 (gauge)
+    w_prior_pts: float       # weak depth/scale prior
+    cam0_prior: jnp.ndarray  # (6,) the pose camera 0 is pinned to
+    pts_prior: jnp.ndarray   # (npts, 3) prior point positions
+    p_true: dict             # generating state {"c", "q"}
+
+    @property
+    def nobs(self) -> int:
+        return int(self.obs.shape[0])
+
+    @property
+    def nstate(self) -> int:
+        return self.ncam * 6 + self.npts * 3
+
+    def residuals_obs(self, p):
+        cams = p["c"].reshape(self.ncam, 6)
+        proj = jax.vmap(lambda ci, qi: project(cams[ci], qi, self.focal))(
+            self.cam_idx, p["q"][self.pt_idx])
+        return (proj - self.obs).reshape(-1)
+
+    def products(self, p) -> Products:
+        """Per-observation autodiff Jacobians -> arrow system by
+        segment-sum. The camera block U is block-diagonal by camera but
+        assembled dense (nc is small); W/V are per-point."""
+        dt = p["c"].dtype
+        cams = p["c"].reshape(self.ncam, 6)
+        q = p["q"]
+
+        def res_one(cam, point, ob):
+            return project(cam, point, self.focal) - ob
+
+        def jac_one(ci, pi, ob):
+            cam, point = cams[ci], q[pi]
+            r = res_one(cam, point, ob)
+            Jc = jax.jacfwd(lambda c: res_one(c, point, ob))(cam)  # (2,6)
+            Jq = jax.jacfwd(lambda s: res_one(cam, s, ob))(point)  # (2,3)
+            return r, Jc, Jq
+
+        r, Jc, Jq = jax.vmap(jac_one)(self.cam_idx, self.pt_idx, self.obs)
+
+        nc = self.ncam * 6
+        # gauge prior on camera 0 + weak point prior
+        w0 = jnp.asarray(self.w_prior_cam0, dt)
+        wp = jnp.asarray(self.w_prior_pts, dt)
+        r_cam0 = jnp.sqrt(w0) * (p["c"][:6] - self.cam0_prior)
+        r_pts = jnp.sqrt(wp) * (q - self.pts_prior)
+
+        norm2_x = (jnp.sum(r * r) + jnp.dot(r_cam0, r_cam0)
+                   + jnp.sum(r_pts * r_pts))
+
+        # gradient
+        gc_obs = jnp.zeros((self.ncam, 6), dt).at[self.cam_idx].add(
+            jnp.einsum('oij,oi->oj', Jc, r))
+        gc = gc_obs.reshape(nc).at[:6].add(
+            w0 * (p["c"][:6] - self.cam0_prior))
+        gq = jnp.zeros((self.npts, 3), dt).at[self.pt_idx].add(
+            jnp.einsum('oij,oi->oj', Jq, r)) + wp * (q - self.pts_prior)
+
+        # U: per-camera 6x6 blocks -> dense (nc, nc)
+        U_blk = jnp.zeros((self.ncam, 6, 6), dt).at[self.cam_idx].add(
+            jnp.einsum('oij,oik->ojk', Jc, Jc))
+        U = jax.scipy.linalg.block_diag(
+            *[U_blk[i] for i in range(self.ncam)])
+        U = U.at[:6, :6].add(w0 * jnp.eye(6, dtype=dt))
+
+        # V: per-point 3x3 + weak prior
+        V = jnp.zeros((self.npts, 3, 3), dt).at[self.pt_idx].add(
+            jnp.einsum('oij,oik->ojk', Jq, Jq))
+        V = V + wp * jnp.eye(3, dtype=dt)
+
+        # W: (nc, npts, 3) coupling — scatter per observation into the
+        # observing camera's 6-row slice
+        Wc = jnp.zeros((self.ncam, 6, self.npts, 3), dt)
+        Wc = Wc.at[self.cam_idx, :, self.pt_idx].add(
+            jnp.einsum('oij,oik->ojk', Jc, Jq))
+        W = Wc.reshape(nc, self.npts, 3)
+
+        return Products(norm2_x=norm2_x,
+                        Jt_x={"c": gc, "q": gq},
+                        JtJ=SchurJtJ(U=U, W=W, V=V))
+
+    def newton_solver(self) -> TreeSchurNewtonSolver:
+        return TreeSchurNewtonSolver(nc=self.ncam * 6, n_points=self.npts,
+                                     block_size=3)
+
+    def p0(self, key=None, jitter: float = 0.0, dtype=None):
+        """Initial state: the prior points and zero poses (plus optional
+        jitter on top of the TRUE state for basin-of-convergence tests)."""
+        dtype = dtype or self.obs.dtype
+        if jitter:
+            k1, k2 = jax.random.split(key)
+            return {
+                "c": (self.p_true["c"].astype(dtype)
+                      + jitter * jax.random.normal(
+                          k1, self.p_true["c"].shape, dtype)),
+                "q": (self.p_true["q"].astype(dtype)
+                      + jitter * jax.random.normal(
+                          k2, self.p_true["q"].shape, dtype))}
+        c0 = jnp.zeros((self.ncam * 6,), dtype)
+        c0 = c0.at[:6].set(self.cam0_prior.astype(dtype))
+        return {"c": c0, "q": self.pts_prior.astype(dtype)}
+
+
+def make_synthetic(seed: int = 0, ncam: int = 6, npts: int = 200,
+                   focal: float = 500.0, pixel_noise: float = 0.5,
+                   dtype=jnp.float64) -> PinholeBA:
+    """Cameras on a ring looking at a point cloud near the origin; every
+    camera observes every point (dense visibility)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(npts, 3)) * np.array([2.0, 2.0, 0.5])
+    cams = []
+    for i in range(ncam):
+        ang = 2 * np.pi * i / ncam
+        # small rotation jitter; translation places the camera so points
+        # sit at depth ~6 in front of it
+        rvec = rng.normal(size=3) * 0.05
+        tvec = np.array([1.5 * np.cos(ang), 1.5 * np.sin(ang), 6.0])
+        cams.append(np.concatenate([rvec, tvec]))
+    cams = np.asarray(cams)
+
+    cam_idx = np.repeat(np.arange(ncam), npts)
+    pt_idx = np.tile(np.arange(npts), ncam)
+
+    obs = []
+    for ci, pi in zip(cam_idx, pt_idx):
+        r, t = cams[ci, :3], cams[ci, 3:]
+        theta = np.linalg.norm(r)
+        if theta < 1e-12:
+            pc = pts[pi] + t
+        else:
+            k = r / theta
+            v = pts[pi]
+            pc = (v * np.cos(theta) + np.cross(k, v) * np.sin(theta)
+                  + k * np.dot(k, v) * (1 - np.cos(theta))) + t
+        obs.append(focal * pc[:2] / pc[2])
+    obs = np.asarray(obs) + rng.normal(size=(len(cam_idx), 2)) * pixel_noise
+
+    return PinholeBA(
+        ncam=ncam, npts=npts, focal=focal,
+        cam_idx=jnp.asarray(cam_idx), pt_idx=jnp.asarray(pt_idx),
+        obs=jnp.asarray(obs, dtype),
+        w_prior_cam0=1e6, w_prior_pts=1e-4,
+        cam0_prior=jnp.asarray(cams[0], dtype),
+        pts_prior=jnp.asarray(pts, dtype),
+        p_true={"c": jnp.asarray(cams.reshape(-1), dtype),
+                "q": jnp.asarray(pts, dtype)})

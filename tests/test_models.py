@@ -110,3 +110,51 @@ def test_grid_mrf_sparse_solve():
     amd = sc.analyze(sched.rows, sched.cols, m.n_nodes, m.block_size,
                      ordering="mindeg")
     assert amd.nslots < nat.nslots
+
+
+def test_pinhole_ba_gradients_and_convergence():
+    """The nonlinear pinhole BA's hand-assembled arrow products agree with
+    autodiff, and the solve recovers the true cameras/points from a
+    jittered start through TreeSchurNewtonSolver."""
+    from libdogleg_tpu.models import pinhole_ba
+
+    ba = pinhole_ba.make_synthetic(seed=0, ncam=4, npts=60)
+    p = ba.p0(jax.random.PRNGKey(0), jitter=0.05)
+    prod = ba.products(p)
+
+    def n2(pp):
+        r = ba.residuals_obs(pp)
+        r0 = jnp.sqrt(ba.w_prior_cam0) * (pp["c"][:6] - ba.cam0_prior)
+        rp = jnp.sqrt(ba.w_prior_pts) * (pp["q"] - ba.pts_prior)
+        return jnp.sum(r * r) + jnp.dot(r0, r0) + jnp.sum(rp * rp)
+
+    g = jax.grad(n2)(p)
+    for k in ("c", "q"):
+        np.testing.assert_allclose(np.asarray(prod.Jt_x[k]),
+                                   np.asarray(g[k]) / 2.0,
+                                   rtol=1e-7, atol=1e-9)
+    np.testing.assert_allclose(float(prod.norm2_x), float(n2(p)),
+                               rtol=1e-12)
+    # quad_form identity: v^T JtJ v == norm2(J v) via jvp of all residuals
+    rng = np.random.default_rng(1)
+    v = {"c": jnp.asarray(rng.normal(size=ba.ncam * 6)),
+         "q": jnp.asarray(rng.normal(size=(ba.npts, 3)))}
+    def all_res(pp):
+        return jnp.concatenate([
+            ba.residuals_obs(pp),
+            jnp.sqrt(ba.w_prior_cam0) * (pp["c"][:6] - ba.cam0_prior),
+            (jnp.sqrt(ba.w_prior_pts) * (pp["q"] - ba.pts_prior)).ravel()])
+    Jv = jax.jvp(all_res, (p,), (v,))[1]
+    qf = ba.newton_solver().quad_form(prod.JtJ, v)
+    np.testing.assert_allclose(float(qf), float(jnp.sum(Jv * Jv)),
+                               rtol=1e-9)
+
+    r = jax.jit(lambda q: solve_products(
+        ba.products, q, DoglegParameters(),
+        newton_solver=ba.newton_solver()))(p)
+    assert StopReason(int(r.reason)) in (StopReason.GRADIENT_CONVERGED,
+                                         StopReason.SMALL_STEP)
+    assert float(jnp.max(jnp.abs(r.p["c"] - ba.p_true["c"]))) < 2e-2
+    # residual level consistent with the injected pixel noise
+    nobs_res = 2 * ba.nobs
+    assert float(r.norm2_x) < 0.5 ** 2 * nobs_res
