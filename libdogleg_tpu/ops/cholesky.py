@@ -45,7 +45,8 @@ def _try_factor(JtJ: jnp.ndarray, lam: jnp.ndarray):
 
 def escalating_lambda(try_factor, lam, dtype, *,
                       lambda_initial: float = 1e-10,
-                      lambda_max_tries: int = 60):
+                      lambda_max_tries: int = 60,
+                      trace_once: bool = False):
     """The reference's permanent escalating-lambda loop, shared by every
     factorization backend (dense, block-sparse, supernodal, Schur): try the
     current lambda; while singular, lambda <- lambda_initial if zero else
@@ -56,30 +57,51 @@ def escalating_lambda(try_factor, lam, dtype, *,
 
     try_factor(lam) -> (state_pytree, ok). Returns (state, lam, ok).
 
-    The factorization is traced exactly ONCE (inside the while_loop body;
-    the first iteration runs with the caller's lambda unescalated) — a
-    second out-of-loop instance would double the compile time of every
-    solve, which is minutes for large supernodal factorizations.
+    trace_once moves the first (usually only) factorization INSIDE the
+    while_loop body so it is traced once instead of twice. That halves
+    compile time — minutes for large supernodal factorizations — but costs
+    runtime on tiny dense factors: the while_loop boundary blocks XLA from
+    fusing the factorization into the surrounding solver iteration
+    (measured +60% on the batched small-N hot path). Large/sparse backends
+    pass True; the dense path keeps False.
     """
     lam = jnp.asarray(lam, dtype)
-    state_shape = jax.eval_shape(try_factor, lam)[0]
-    state0 = jax.tree_util.tree_map(
-        lambda s: jnp.zeros(s.shape, s.dtype), state_shape)
+
+    def escalate(lam):
+        return jnp.where(lam == 0.0, jnp.asarray(lambda_initial, dtype),
+                         lam * 10.0)
+
+    if trace_once:
+        state_shape = jax.eval_shape(try_factor, lam)[0]
+        state0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), state_shape)
+
+        def body(carry):
+            lam, _, _, tries = carry
+            # tries == -1 marks the first pass: lam as given, unescalated
+            lam = jnp.where(tries < 0, lam, escalate(lam))
+            state, ok = try_factor(lam)
+            return (lam, state, ok, tries + 1)
+
+        lam, state, ok, _ = jax.lax.while_loop(
+            lambda c: (c[3] < 0) | ((~c[2]) & (c[3] < lambda_max_tries)),
+            body,
+            (lam, state0, jnp.asarray(False), jnp.asarray(-1, jnp.int32)),
+        )
+        return state, lam, ok
+
+    state0, ok0 = try_factor(lam)
 
     def body(carry):
         lam, _, _, tries = carry
-        # tries == -1 marks the first pass: factor with lam as given
-        lam = jnp.where(tries < 0, lam,
-                        jnp.where(lam == 0.0,
-                                  jnp.asarray(lambda_initial, dtype),
-                                  lam * 10.0))
+        lam = escalate(lam)
         state, ok = try_factor(lam)
         return (lam, state, ok, tries + 1)
 
     lam, state, ok, _ = jax.lax.while_loop(
-        lambda c: (c[3] < 0) | ((~c[2]) & (c[3] < lambda_max_tries)),
+        lambda c: (~c[2]) & (c[3] < lambda_max_tries),
         body,
-        (lam, state0, jnp.asarray(False), jnp.asarray(-1, jnp.int32)),
+        (lam, state0, ok0, jnp.asarray(0, jnp.int32)),
     )
     return state, lam, ok
 

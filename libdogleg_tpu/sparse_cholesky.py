@@ -551,4 +551,4 @@ def factorize_with_lambda(sym: SparseCholeskySymbolic,
     return escalating_lambda(
         lambda lm: factorize(sym, input_blocks, lm), lam,
         input_blocks.dtype, lambda_initial=lambda_initial,
-        lambda_max_tries=lambda_max_tries)
+        lambda_max_tries=lambda_max_tries, trace_once=True)

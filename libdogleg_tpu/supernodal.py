@@ -209,4 +209,5 @@ def factorize_with_lambda(sym: AmalgamatedSymbolic,
     blocks = _super_blocks(sym, input_blocks)
     return escalating_lambda(
         lambda lm: sc.factorize(sym.inner, blocks, lm), lam, blocks.dtype,
-        lambda_initial=lambda_initial, lambda_max_tries=lambda_max_tries)
+        lambda_initial=lambda_initial, lambda_max_tries=lambda_max_tries,
+        trace_once=True)
