@@ -162,6 +162,9 @@ def run_ours(A, B, C, d, p0):
 @pytest.mark.parametrize("seed,nstate,nmeas", [
     (0, 4, 24), (1, 6, 40), (2, 8, 16), (3, 3, 60), (4, 10, 30),
     (5, 5, 12), (6, 7, 50),
+    # above smallchol.SMALL_N_MAX=16: the blocked lax.linalg Cholesky
+    # branch of factorize_jtj, vs LAPACK dpotrf in the reference
+    (12, 20, 80), (13, 32, 100),
 ])
 def test_random_dense_trace_parity(libref, seed, nstate, nmeas):
     A, B, C, d, p0 = random_problem(seed, nstate, nmeas)
