@@ -1,7 +1,7 @@
-"""Full benchmark matrix: the five BASELINE.json configurations.
+"""Full benchmark matrix: the five BASELINE.json configurations plus two.
 
 bench.py stays the driver's single-JSON-line headline (config 3); this
-script measures all five configs and prints one JSON line per config.
+script measures every config and prints one JSON line per config.
 Runs on whatever backend the environment provides (the tunneled TPU here).
 
   1. sparse sample.c problem (block-CSR path), single-solve latency
@@ -9,6 +9,8 @@ Runs on whatever backend the environment provides (the tunneled TPU here).
   3. batched trust-region: 10k independent small problems vmapped per chip
   4. large block-sparse BA-style problem: Schur elimination of point blocks
   5. covariance/outlierness pass from the factored JtJ
+  6. large sparse grid MRF: supernodal block-sparse Cholesky vs dense JtJ
+  7. nonlinear pinhole-camera bundle adjustment (the reference's domain)
 """
 
 import json
@@ -20,7 +22,8 @@ import numpy as np
 import libdogleg_tpu.models.quadratic_surface as sp
 from libdogleg_tpu import DoglegParameters, optimize
 from libdogleg_tpu.analysis import get_outlierness_factors
-from libdogleg_tpu.models import bundle_adjustment, curve_fit, grid_mrf
+from libdogleg_tpu.models import (bundle_adjustment, curve_fit, grid_mrf,
+                                  pinhole_ba)
 from libdogleg_tpu.ops.cholesky import factorize_jtj
 from libdogleg_tpu.solver import Products, solve_products
 from libdogleg_tpu.utils.benchtime import fetch, measure_loop
@@ -149,6 +152,23 @@ def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16):
          converged=bool(np.isfinite(np.asarray(out))))
 
 
+def config7_pinhole_ba(ncam=32, npts=20000):
+    """Nonlinear pinhole-camera bundle adjustment — the reference's actual
+    application domain (README.pod:5-15): reprojection errors, autodiff
+    per-observation Jacobians, Schur elimination on pytree states."""
+    ba = pinhole_ba.make_synthetic(seed=0, ncam=ncam, npts=npts,
+                                   dtype=DTYPE)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    f = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, PRM,
+        newton_solver=ba.newton_solver()).norm2_x)
+    dt, out = timeit(f, p0["c"], p0["q"])
+    nobs_res = 2 * ba.nobs
+    emit("7-pinhole-ba", "solve_latency", dt * 1e3, "ms",
+         ncam=ncam, npts=npts, nobs=ba.nobs, nstate=ba.nstate,
+         converged=bool(np.asarray(out) < 1.0 * nobs_res))
+
+
 if __name__ == "__main__":
     config1_sparse()
     config2_dense()
@@ -156,3 +176,4 @@ if __name__ == "__main__":
     config4_ba_schur()
     config5_outlierness()
     config6_sparse_grid()
+    config7_pinhole_ba()
