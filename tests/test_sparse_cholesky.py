@@ -361,3 +361,40 @@ def test_outlierness_with_sparse_factor():
         solve_fn=lambda r: sc.solve(ns.symbolic, L, r))
     np.testing.assert_allclose(np.asarray(f_sp), np.asarray(f_ref),
                                rtol=1e-8, atol=1e-10)
+
+
+def test_vmapped_sparse_solves():
+    """The level-scheduled factorization vmaps: a batch of problems sharing
+    one sparsity pattern (the batched-SLAM regime) solves in one program,
+    each lane exact vs its dense oracle."""
+    batch = 4
+    dense0, blocks0, rows, cols = _random_spd_pattern(40, 9, 3, 14)
+    sym = sc.analyze(rows, cols, 9, 3)
+    rng = np.random.default_rng(41)
+
+    denses, blockss, rhss = [], [], []
+    for _ in range(batch):
+        scalefac = 1.0 + rng.uniform(0.1, 2.0)
+        blk = np.asarray(blocks0) * scalefac
+        # rebuild the dense oracle for the scaled blocks
+        d = np.zeros_like(dense0)
+        b = 3
+        for k, (i, j) in enumerate(zip(rows, cols)):
+            d[i*b:(i+1)*b, j*b:(j+1)*b] = blk[k]
+            if i != j:
+                d[j*b:(j+1)*b, i*b:(i+1)*b] = blk[k].T
+        denses.append(d)
+        blockss.append(blk)
+        rhss.append(rng.normal(size=(27,)))
+    blockss = jnp.asarray(np.stack(blockss))
+    rhss = jnp.asarray(np.stack(rhss))
+
+    def solve_one(blocks, rhs):
+        L, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
+        return sc.solve(sym, L, rhs), ok
+
+    xs, oks = jax.jit(jax.vmap(solve_one))(blockss, rhss)
+    assert bool(np.asarray(oks).all())
+    for i in range(batch):
+        np.testing.assert_allclose(denses[i] @ np.asarray(xs[i]), rhss[i],
+                                   rtol=1e-8, atol=1e-10)
