@@ -16,7 +16,7 @@ import subprocess
 import threading
 from typing import Optional
 
-_SRC = pathlib.Path(__file__).resolve().parent.parent.parent / "csrc"
+_SRC = pathlib.Path(__file__).resolve().parent.parent / "csrc"
 _CACHE_DIR = pathlib.Path(__file__).resolve().parent / "_build"
 _LOCK = threading.Lock()
 _LIB: Optional[ctypes.CDLL] = None
