@@ -398,3 +398,27 @@ def test_vmapped_sparse_solves():
     for i in range(batch):
         np.testing.assert_allclose(denses[i] @ np.asarray(xs[i]), rhss[i],
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_vmapped_supernodal_solves():
+    """Amalgamated factorization also vmaps (batched shared-pattern
+    problems through the supernodal path)."""
+    from libdogleg_tpu import supernodal as sn
+    dense0, blocks0, rows, cols = _random_spd_pattern(50, 9, 3, 14)
+    sym = sn.analyze(rows, cols, 9, 3, amalgamate=4)
+    rng = np.random.default_rng(51)
+    scales = jnp.asarray(1.0 + rng.uniform(0.1, 2.0, size=3))
+    blockss = blocks0[None] * scales[:, None, None, None]
+    rhss = jnp.asarray(rng.normal(size=(3, 27)))
+
+    def solve_one(blocks, rhs):
+        L, ok = sn.factorize(sym, blocks, jnp.asarray(0.0))
+        return sn.solve(sym, L, rhs), ok
+
+    xs, oks = jax.jit(jax.vmap(solve_one))(blockss, rhss)
+    assert bool(np.asarray(oks).all())
+    for i in range(3):
+        d = np.asarray(dense0) * float(scales[i])
+        np.testing.assert_allclose(d @ np.asarray(xs[i]),
+                                   np.asarray(rhss[i]),
+                                   rtol=1e-8, atol=1e-10)
