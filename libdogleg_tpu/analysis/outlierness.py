@@ -205,7 +205,8 @@ def outlierness_trace_new_feature(Jq: jnp.ndarray,
                                   norm2_x,
                                   nmeasurements: int,
                                   *,
-                                  n_outlier_features: int = 0):
+                                  n_outlier_features: int = 0,
+                                  solve_fn=None):
     """Expected outlierness of a hypothetical new feature — the query-point
     confidence metric (reference
     dogleg_getOutliernessTrace_newFeature_sparse, dogleg.c:2793-3012).
@@ -218,7 +219,8 @@ def outlierness_trace_new_feature(Jq: jnp.ndarray,
     feature_size (the reference asserts feature_size == 2, dogleg.c:2873).
     """
     feature_size, nstate = Jq.shape
-    W = cholesky_solve(L, Jq.T)                      # (nstate, fs)
+    W = solve_fn(Jq.T) if solve_fn is not None else \
+        cholesky_solve(L, Jq.T)                      # (nstate, fs)
     A = jnp.matmul(Jq, W, preferred_element_type=Jq.dtype)
     B = jnp.linalg.inv(A + jnp.eye(feature_size, dtype=Jq.dtype))
     traceB = jnp.trace(B)

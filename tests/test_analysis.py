@@ -238,3 +238,33 @@ def test_query_trace_matches_oracle(measurements, p0):
     zero = outlierness_trace_new_feature(jnp.zeros((2, sp.NSTATE)), fac.L,
                                          r.norm2_x, sp.NMEAS)
     np.testing.assert_allclose(float(zero), 0.0, atol=1e-12)
+
+
+def test_trace_new_feature_sparse_factor():
+    """Query-point confidence off a block-sparse factor (solve_fn) matches
+    the dense-factor result."""
+    from libdogleg_tpu import sparse_cholesky as sc
+    from libdogleg_tpu.analysis import outlierness_trace_new_feature
+    from libdogleg_tpu.ops.cholesky import factorize_jtj
+
+    rng = np.random.default_rng(9)
+    nb, b = 6, 2
+    nstate = nb * b
+    J = rng.normal(size=(40, nstate))
+    JtJ = J.T @ J
+    # dense factor
+    fac = factorize_jtj(jnp.asarray(JtJ), jnp.asarray(0.0))
+    Jq = jnp.asarray(rng.normal(size=(2, nstate)))
+    t_ref = outlierness_trace_new_feature(Jq, fac.L, jnp.asarray(12.0), 40)
+    # block-sparse factor of the same (dense-pattern) matrix
+    rows, cols = zip(*[(i, j) for i in range(nb) for j in range(i + 1)])
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    blocks = jnp.asarray(np.stack(
+        [JtJ[i*b:(i+1)*b, j*b:(j+1)*b] for i, j in zip(rows, cols)]))
+    sym = sc.analyze(rows, cols, nb, b)
+    L, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
+    assert bool(ok)
+    t_sp = outlierness_trace_new_feature(
+        Jq, None, jnp.asarray(12.0), 40,
+        solve_fn=lambda r: sc.solve(sym, L, r))
+    np.testing.assert_allclose(float(t_sp), float(t_ref), rtol=1e-9)
