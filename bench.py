@@ -26,7 +26,7 @@ import numpy as np
 
 import libdogleg_tpu.sample_problem as sp
 from libdogleg_tpu import DoglegParameters
-from libdogleg_tpu.solver import Products, solve_products
+from libdogleg_tpu.solver import Products
 from libdogleg_tpu.utils.benchtime import measure_loop
 
 BATCH = 8192
@@ -51,12 +51,6 @@ def main():
                         Jt_x=jnp.matmul(J.T, x, preferred_element_type=dtype),
                         JtJ=jnp.matmul(J.T, J, preferred_element_type=dtype))
 
-    def solve_one(p0, meas):
-        r = solve_products(lambda p: products(p, meas), p0, prm)
-        return r.p, r.step_count, r.reason
-
-    solve_batch = jax.jit(jax.vmap(solve_one))
-
     # straggler compaction (parallel.batched_optimize_compacted semantics):
     # the vmapped while_loop pays for the slowest element (max 15 attempts
     # vs mean 8.5 here); finish the tail in a BATCH/16 compacted buffer.
@@ -74,8 +68,10 @@ def main():
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
         jax.random.split(jax.random.PRNGKey(1), BATCH))
 
-    # Warmup / compile + correctness gate.
-    p_sol, steps, reason = jax.block_until_ready(solve_batch(p0s, meas_batch))
+    # Warmup / compile + correctness gate ON THE TIMED PROGRAM: a
+    # regression in the compaction path must fail the gate, not just a
+    # separate CPU test (advisor round-1 finding).
+    p_sol, steps = jax.block_until_ready(solve_one_batch(p0s, meas_batch))
     err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
     frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
     if frac_ok < 0.99:

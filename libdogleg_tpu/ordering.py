@@ -128,14 +128,17 @@ def resolve_ordering(ordering, rows: np.ndarray, cols: np.ndarray,
     answer."""
     if ordering is None:
         ordering = "mindeg"
-    if ordering == "natural":
-        return np.arange(n, dtype=np.int32)
     if isinstance(ordering, str):
+        if ordering == "natural":
+            return np.arange(n, dtype=np.int32)
         if ordering in ("mindeg", "amd"):
             return mindeg_ordering(rows, cols, n)
         if ordering == "rcm":
             return rcm_ordering(rows, cols, n)
         raise ValueError(f"unknown ordering {ordering!r}")
     perm = np.asarray(ordering, np.int32)
-    assert perm.shape == (n,) and np.array_equal(np.sort(perm), np.arange(n))
+    if perm.shape != (n,) or not np.array_equal(np.sort(perm), np.arange(n)):
+        raise ValueError(
+            f"explicit ordering must be a permutation of 0..{n - 1}; "
+            f"got shape {perm.shape}")
     return perm

@@ -4,7 +4,9 @@ from libdogleg_tpu.parallel.sharded import (
     MeasurementShardedSparseProblem,
     measurement_sharded_products,
 )
-from libdogleg_tpu.parallel.batched import batched_optimize, shard_batch
+from libdogleg_tpu.parallel.batched import (batched_optimize,
+                                             batched_optimize_compacted,
+                                             shard_batch)
 
 __all__ = [
     "make_mesh",
@@ -12,5 +14,6 @@ __all__ = [
     "MeasurementShardedSparseProblem",
     "measurement_sharded_products",
     "batched_optimize",
+    "batched_optimize_compacted",
     "shard_batch",
 ]

@@ -47,24 +47,26 @@ def test_legacy_global_setters():
     import libdogleg_tpu.sample_problem as sp
 
     importlib.reload(legacy)
-    legacy.set_max_iterations(8)
-    legacy.set_initial_trustregion(500.0)
-    legacy.set_thresholds(-1.0, 1e-9, -1.0)     # <=0 leaves unchanged
-    legacy.set_trustregion_update_parameters(0.2, 0.3, 3.0, 0.8)
-    prm = legacy.get_global_parameters()
-    assert prm.max_iterations == 8
-    assert prm.trustregion0 == 500.0
-    assert prm.Jt_x_threshold == 1e-8            # unchanged
-    assert prm.update_threshold == 1e-9
-    assert prm.trustregion_decrease_factor == 0.2
-    assert prm.trustregion_increase_factor == 3.0
+    try:
+        legacy.set_max_iterations(8)
+        legacy.set_initial_trustregion(500.0)
+        legacy.set_thresholds(-1.0, 1e-9, -1.0)     # <=0 leaves unchanged
+        legacy.set_trustregion_update_parameters(0.2, 0.3, 3.0, 0.8)
+        prm = legacy.get_global_parameters()
+        assert prm.max_iterations == 8
+        assert prm.trustregion0 == 500.0
+        assert prm.Jt_x_threshold == 1e-8            # unchanged
+        assert prm.update_threshold == 1e-9
+        assert prm.trustregion_decrease_factor == 0.2
+        assert prm.trustregion_increase_factor == 3.0
 
-    legacy.set_debug(legacy.DOGLEG_DEBUG_VNLOG)
-    meas = sp.simulate(jax.random.PRNGKey(0))
-    p0 = sp.initial_state(jax.random.PRNGKey(1))
-    r = legacy.optimize(sp.make_dense_problem(meas), p0)
-    assert r.history is not None                 # vnlog bit -> history
-    assert int(r.step_count) <= 8
-    err = np.max(np.abs(np.asarray(r.p) - np.asarray(sp.P_TRUE)))
-    assert err < 5e-2
-    importlib.reload(legacy)                     # reset globals for others
+        legacy.set_debug(legacy.DOGLEG_DEBUG_VNLOG)
+        meas = sp.simulate(jax.random.PRNGKey(0))
+        p0 = sp.initial_state(jax.random.PRNGKey(1))
+        r = legacy.optimize(sp.make_dense_problem(meas), p0)
+        assert r.history is not None                 # vnlog bit -> history
+        assert int(r.step_count) <= 8
+        err = np.max(np.abs(np.asarray(r.p) - np.asarray(sp.P_TRUE)))
+        assert err < 5e-2
+    finally:
+        importlib.reload(legacy)                     # reset globals for others
