@@ -1,0 +1,288 @@
+"""Head-to-head: libdogleg_tpu (this framework) vs the compiled C reference.
+
+BASELINE.md's batched target is "cost parity vs libdogleg CPU". Round 1
+beat an abstract 1e4 solves/s constant; this harness measures the actual
+reference library on the SAME problem instances:
+
+  - builds the reference (dogleg.c + the types-only CHOLMOD stub, dense
+    paths only — same build as the parity oracle) plus bench_ref.c, a
+    pure-C driver whose model callbacks are native C (no Python/ctypes in
+    the measured loop);
+  - generates the exact instance sets bench_all.py times and hands them to
+    both sides byte-identically (f32 values widened to f64 for the C side,
+    which only does f64):
+      * config 3: 8192 quadratic-surface instances (bench.py's headline),
+        throughput;
+      * config 1/2 analog: single-solve LATENCY on the quadratic-surface
+        and curve-fit problems;
+  - times the reference in dense and dense-products modes, with its stock
+    stopping rule and with the relaxed rule bench.py uses on TPU
+    (max_iterations=10, thresholds 1e-3/1e-5/1e-5) — the relaxed run is
+    the apples-to-apples row;
+  - times this framework's headline path (batched_optimize_compacted) and
+    single-solve latencies on the current backend, and optionally on the
+    XLA CPU backend in a subprocess (``--ours-cpu``).
+
+Writes BENCH_CPU_REF.json and prints one JSON line per measurement.
+Reference entry points: dogleg_optimize_dense2 /
+dogleg_optimize_dense_products (reference dogleg.h:294-302); the C
+reference's own demo timing loop is sample.c:412.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import struct
+import subprocess
+import sys
+
+import numpy as np
+
+REPO = pathlib.Path(__file__).resolve().parent
+REF = pathlib.Path("/root/reference")
+ORACLE_SRC = REPO / "tests" / "reference_oracle"
+BUILD = REPO / "tests" / "_oracle_build"
+
+BATCH = 8192
+
+
+def build_bench_ref() -> pathlib.Path:
+    """Compile the pure-C benchmark driver against the reference library."""
+    BUILD.mkdir(exist_ok=True)
+    shutil.copy(ORACLE_SRC / "cholmod_stub.h", BUILD / "cholmod.h")
+    exe = BUILD / "bench_ref"
+    srcs = [ORACLE_SRC / "bench_ref.c", ORACLE_SRC / "cholmod_stub.c",
+            REF / "dogleg.c"]
+    newest_src = max(s.stat().st_mtime for s in srcs)
+    if exe.exists() and exe.stat().st_mtime > newest_src:
+        return exe
+    cmd = ["gcc", "-O3", "-fopenmp", "-o", str(exe),
+           *map(str, srcs), f"-I{BUILD}", f"-I{REF}",
+           "-l:liblapack.so.3", "-lm"]
+    subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    return exe
+
+
+def write_instance_file(path, problem_id, aux, meas, p0s):
+    n, nmeas = meas.shape
+    nstate = p0s.shape[1]
+    with open(path, "wb") as f:
+        f.write(struct.pack("<4q", problem_id, nstate, nmeas, n))
+        np.asarray(aux, np.float64).tofile(f)
+        for i in range(n):
+            meas[i].astype(np.float64).tofile(f)
+            p0s[i].astype(np.float64).tofile(f)
+
+
+def make_qs_instances(dtype_str="float32"):
+    """The exact quadratic-surface instance set bench.py uses (keys 0/1)."""
+    import jax
+    import jax.numpy as jnp
+    import libdogleg_tpu.sample_problem as sp
+
+    dtype = jnp.dtype(dtype_str)
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    meas = np.asarray(jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys))
+    p0s = np.asarray(jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), BATCH)))
+    gx, gy = sp.make_grid(dtype)
+    aux = np.concatenate([np.asarray(gx, np.float64),
+                          np.asarray(gy, np.float64)])
+    return aux, meas, p0s
+
+
+def make_cf_instances(dtype_str="float32"):
+    """The curve-fit instance bench_all.py config 2 uses (keys 0/1)."""
+    import jax
+    import jax.numpy as jnp
+    from libdogleg_tpu.models import curve_fit
+
+    dtype = jnp.dtype(dtype_str)
+    meas = np.asarray(curve_fit.simulate(jax.random.PRNGKey(0),
+                                         dtype=dtype))[None]
+    p0 = np.asarray(curve_fit.initial_state(jax.random.PRNGKey(1),
+                                            dtype=dtype))[None]
+    t = np.asarray(curve_fit.make_t(meas.shape[1], dtype), np.float64)
+    return t, meas, p0
+
+
+def run_reference(exe, inst_file, mode, relaxed, latency=False, reps=10):
+    """Best-of-reps wall clock for the C driver (single-threaded: this
+    host has one core). The host is shared and noisy — reps=10 and
+    best-of keeps the comparison maximally fair to the reference."""
+    best = None
+    for _ in range(reps):
+        args = [str(exe), str(inst_file), mode, "1"]
+        if relaxed:
+            args.append("relaxed")
+        if latency:
+            args.append("latency")
+        out = subprocess.run(args, check=True, capture_output=True,
+                             timeout=600, text=True)
+        rec = json.loads(out.stdout.strip())
+        if best is None or rec["solves_per_s"] > best["solves_per_s"]:
+            best = rec
+    return best
+
+
+def _relaxed_prm():
+    from libdogleg_tpu import DoglegParameters
+    return DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                            update_threshold=1e-5,
+                            trustregion_threshold=1e-5)
+
+
+def run_ours_batched(platform=None):
+    """Time the headline path (same program bench.py times) on the current
+    or a forced backend; returns a record shaped like the C driver's."""
+    import jax
+    if platform:
+        jax.config.update("jax_platforms", platform)
+    import jax.numpy as jnp
+    import libdogleg_tpu.sample_problem as sp
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    from libdogleg_tpu.solver import Products
+    from libdogleg_tpu.utils.benchtime import measure_loop
+
+    dtype = jnp.float32
+    gx, gy = sp.make_grid(dtype)
+    prm = _relaxed_prm()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x,
+                        Jt_x=jnp.matmul(J.T, x, preferred_element_type=dtype),
+                        JtJ=jnp.matmul(J.T, J, preferred_element_type=dtype))
+
+    def solve_one_batch(p0s, meas_batch):
+        r = batched_optimize_compacted(
+            products, p0s, prm, problem_data=meas_batch,
+            phase1_attempts=11, compact_capacity=BATCH // 16)
+        return r.p, r.n_attempts
+
+    keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), BATCH))
+
+    p_sol, n_attempts = jax.block_until_ready(solve_one_batch(p0s, meas))
+    err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
+    frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
+    dt = measure_loop(solve_one_batch, p0s, meas)
+    return {
+        "problem": 0,
+        "mode": "ours-batched-compacted",
+        "backend": jax.default_backend(),
+        "n": BATCH,
+        "wall_s": round(dt, 6),
+        "solves_per_s": round(BATCH / dt, 2),
+        # +1: the reference counts the initial evaluation as a callback
+        "mean_evals": round(float(np.mean(np.asarray(n_attempts))) + 1.0, 3),
+        "recovered_frac": round(frac_ok, 4),
+    }
+
+
+def run_ours_latency():
+    """Single-solve jitted latency on both problems (bench_all configs
+    1/2 analog, dense path, relaxed stopping rule)."""
+    import jax
+    import jax.numpy as jnp
+    import libdogleg_tpu.sample_problem as sp
+    from libdogleg_tpu import optimize
+    from libdogleg_tpu.models import curve_fit
+    from libdogleg_tpu.utils.benchtime import measure_loop
+
+    prm = _relaxed_prm()
+    recs = []
+    for problem_id, mod in ((0, sp), (1, curve_fit)):
+        meas = mod.simulate(jax.random.PRNGKey(0), dtype=jnp.float32)
+        p0 = mod.initial_state(jax.random.PRNGKey(1), dtype=jnp.float32)
+        problem = mod.make_dense_problem(meas)
+        f = jax.jit(lambda q, problem=problem: optimize(problem, q, prm).p)
+        out = jax.block_until_ready(f(p0))
+        ok = bool(np.all(np.abs(np.asarray(out) - mod.P_TRUE) < 0.2))
+        dt = measure_loop(f, p0)
+        recs.append({
+            "problem": problem_id,
+            "mode": "ours-single-solve",
+            "backend": jax.default_backend(),
+            "latency_us": round(dt * 1e6, 3),
+            "solves_per_s": round(1.0 / dt, 2),
+            "recovered_frac": 1.0 if ok else 0.0,
+        })
+    return recs
+
+
+def main():
+    if "--ours-only" in sys.argv:
+        platform = sys.argv[sys.argv.index("--ours-only") + 1]
+        print(json.dumps(run_ours_batched(platform)))
+        return
+
+    records = []
+
+    def emit(rec):
+        records.append(rec)
+        print(json.dumps(rec))
+
+    exe = build_bench_ref()
+    qs_file = BUILD / "bench_instances_qs.bin"
+    cf_file = BUILD / "bench_instances_cf.bin"
+    write_instance_file(qs_file, 0, *make_qs_instances())
+    write_instance_file(cf_file, 1, *make_cf_instances())
+
+    # config-3 analog: batched throughput on the quadratic surface
+    for mode in ("dense", "products"):
+        for relaxed in (False, True):
+            rec = run_reference(exe, qs_file, mode, relaxed)
+            rec.update(side="reference-cpu", ncores=os.cpu_count())
+            emit(rec)
+
+    # config-1/2 analog: single-solve latency on both problems
+    for inst_file in (qs_file, cf_file):
+        for mode in ("dense", "products"):
+            rec = run_reference(exe, inst_file, mode, relaxed=True,
+                                latency=True)
+            rec.update(side="reference-cpu", ncores=os.cpu_count())
+            emit(rec)
+
+    if "--ours-cpu" in sys.argv:
+        out = subprocess.run(
+            [sys.executable, __file__, "--ours-only", "cpu"],
+            check=True, capture_output=True, text=True, timeout=1200)
+        rec = json.loads(out.stdout.strip().splitlines()[-1])
+        rec["side"] = "ours-cpu"
+        emit(rec)
+
+    rec = run_ours_batched()
+    rec["side"] = "ours"
+    emit(rec)
+    for rec in run_ours_latency():
+        rec["side"] = "ours"
+        emit(rec)
+
+    ref_best = max(r["solves_per_s"] for r in records
+                   if r["side"] == "reference-cpu"
+                   and "latency" not in r["mode"])
+    ours = next(r for r in records if r["side"] == "ours"
+                and r["mode"] == "ours-batched-compacted")
+    summary = {
+        "metric": "ours_vs_reference_cpu",
+        "ours_solves_per_s": ours["solves_per_s"],
+        "reference_best_solves_per_s": ref_best,
+        "speedup": round(ours["solves_per_s"] / ref_best, 2),
+        "batch": BATCH,
+        "host_cores": os.cpu_count(),
+    }
+    emit(summary)
+
+    (REPO / "BENCH_CPU_REF.json").write_text(
+        json.dumps(records, indent=1) + "\n")
+
+
+if __name__ == "__main__":
+    main()
