@@ -4,8 +4,8 @@ BASELINE.md's batched target is "cost parity vs libdogleg CPU". Round 1
 beat an abstract 1e4 solves/s constant; this harness measures the actual
 reference library on the SAME problem instances:
 
-  - builds the reference (dogleg.c + the types-only CHOLMOD stub, dense
-    paths only — same build as the parity oracle) plus bench_ref.c, a
+  - builds the reference (dogleg.c + the minichol functional CHOLMOD
+    subset — same build as the parity oracle) plus bench_ref.c, a
     pure-C driver whose model callbacks are native C (no Python/ctypes in
     the measured loop);
   - generates the exact instance sets bench_all.py times and hands them to
@@ -52,9 +52,9 @@ BATCH = 8192
 def build_bench_ref() -> pathlib.Path:
     """Compile the pure-C benchmark driver against the reference library."""
     BUILD.mkdir(exist_ok=True)
-    shutil.copy(ORACLE_SRC / "cholmod_stub.h", BUILD / "cholmod.h")
+    shutil.copy(ORACLE_SRC / "minichol.h", BUILD / "cholmod.h")
     exe = BUILD / "bench_ref"
-    srcs = [ORACLE_SRC / "bench_ref.c", ORACLE_SRC / "cholmod_stub.c",
+    srcs = [ORACLE_SRC / "bench_ref.c", ORACLE_SRC / "minichol.c",
             REF / "dogleg.c"]
     newest_src = max(s.stat().st_mtime for s in srcs)
     if exe.exists() and exe.stat().st_mtime > newest_src:

@@ -116,8 +116,8 @@ def get_outlierness_factors(x: jnp.ndarray,
     if feature_size == 1:
         # x^2 / (1 - A), guarded like the reference (dogleg.c:2319-2330).
         denom = 1.0 - A[:, 0, 0]
-        factor = jnp.where(jnp.abs(denom) < 1e-8, big,
-                           xr[:, 0] * xr[:, 0] / denom)
+        singular = jnp.abs(denom) < 1e-8
+        raw = xr[:, 0] * xr[:, 0] / denom
     elif feature_size == 2:
         # Cook's self+others via the closed 2x2 form (dogleg.c:2332-2365).
         a00, a01, a11 = A[:, 0, 0], A[:, 0, 1], A[:, 1, 1]
@@ -130,20 +130,27 @@ def get_outlierness_factors(x: jnp.ndarray,
         v1 = x0 * b00 + x1 * b01
         v2 = x0 * b01 + x1 * b11
         xBBx = (v1 * v1 + v2 * v2) / (det * det)
-        factor = jnp.where(jnp.abs(det) < 1e-8, big, xBx + xBBx)
+        singular = jnp.abs(det) < 1e-8
+        raw = xBx + xBBx
     else:
         # General featureSize (beyond the reference): same Cook's
-        # self+others, batched dense inverse of (A - I).
+        # self+others, batched dense inverse of (A - I), with the same
+        # singular-leverage guard generalized to |det(A - I)| < 1e-8.
         eye = jnp.eye(feature_size, dtype=J.dtype)
-        B = jnp.linalg.inv(A - eye)
+        AmI = A - eye
+        B = jnp.linalg.inv(AmI)
         Bx = jnp.einsum('fij,fj->fi', B, xr)
-        factor = jnp.einsum('fi,fi->f', xr, Bx) + jnp.einsum(
+        singular = jnp.abs(jnp.linalg.det(AmI)) < 1e-8
+        raw = jnp.einsum('fi,fi->f', xr, Bx) + jnp.einsum(
             'fi,fi->f', Bx, Bx)
 
     # The reference's acknowledged hack: "the threshold should be 1.0, and
     # the scaling should make sure that is the case" (dogleg.c:2374-2378).
+    # Singular leverage means "definitely an outlier": the DBL_MAX sentinel
+    # is returned UNSCALED, exactly as the reference's early returns skip
+    # the k multiplication (dogleg.c:2325, 2336).
     k = scale / 8.0
-    return factor * k, scale
+    return jnp.where(singular, big, raw * k), scale
 
 
 class MarkResult(NamedTuple):

@@ -1,10 +1,28 @@
-/* Minimal cholmod.h stand-in for compiling the reference libdogleg's DENSE
- * code paths as a test oracle on a machine without SuiteSparse. Types carry
- * exactly the fields the reference touches; every function aborts if called
- * (the dense paths never call CHOLMOD — cholmod_start is guarded by
- * solve_type == DOGLEG_SPARSE, reference dogleg.c:1697-1705).
+/* minichol: a small FUNCTIONAL stand-in for the subset of the CHOLMOD API
+ * that the reference libdogleg uses, so the reference's SPARSE code paths
+ * (dogleg_optimize2, the sparse outlierness trace, the sparse gradient
+ * checker) can actually execute as a test oracle on a machine without
+ * SuiteSparse (no network, no system package — see PARITY.md).
  *
- * This is original stub code, not copied from SuiteSparse; field names
+ * Semantics implemented (matching how dogleg.c calls CHOLMOD):
+ *  - cholmod_analyze/factorize[_p] on an stype=0 CSC matrix A computes the
+ *    Cholesky factorization  L L^T = A A^T + beta[0] I  (reference
+ *    dogleg.c:649-677 passes Jt, so this is JtJ + lambda I).
+ *  - rank deficiency is reported via factor->minor < factor->n, which is
+ *    exactly what the reference's lambda-escalation loop checks
+ *    (dogleg.c:667-676); the call still returns success, as CHOLMOD does.
+ *  - cholmod_solve/spsolve with CHOLMOD_A solve (A A^T + beta I) x = b.
+ *  - spsolve returns a fully-populated sorted packed CSC result (a legal
+ *    sparse matrix; the reference only iterates it in row order,
+ *    dogleg.c:2876-2888).
+ *
+ * Differences from real CHOLMOD, by design: natural ordering (no AMD/COLAMD
+ * permutation) and a dense factor representation internally — numerics are
+ * correct double-precision Cholesky, differing from SuiteSparse only in
+ * summation order (ulp-level). Performance is O(n^3); fine for oracle-sized
+ * problems.
+ *
+ * This is original code, not copied from SuiteSparse; type/field names
  * follow the public CHOLMOD API so the reference compiles unmodified.
  */
 #pragma once
@@ -34,6 +52,9 @@ typedef struct {
 
 typedef struct {
   size_t n, minor;
+  /* implementation detail (never touched by dogleg.c): the factor,
+   * dense row-major lower-triangular, n*n */
+  double *L;
 } cholmod_factor;
 
 typedef struct {

@@ -1,11 +1,12 @@
 """Decision-by-decision trace parity against the COMPILED C reference.
 
 The gold-standard parity check (SURVEY.md section 7, hard part 4): compile
-the actual reference (dense paths only — CHOLMOD is absent on this machine,
-so a types-only stub header stands in; the dense code never calls it,
-reference dogleg.c:1697-1705), feed both implementations the bit-identical
-problem (the reference's own glibc random() stream, reproduced via ctypes),
-and diff the per-attempt vnlog traces: every accept/reject decision, step
+the actual reference — ALL paths, including sparse: SuiteSparse is absent
+on this machine, so the functional minichol backend
+(tests/reference_oracle/minichol.{h,c}) stands in for the CHOLMOD API
+subset dogleg.c uses — feed both implementations the bit-identical problem
+(the reference's own glibc random() stream, reproduced via ctypes), and
+diff the per-attempt vnlog traces: every accept/reject decision, step
 type, and metric must match.
 
 Known reference quirk handled here: the step_direction_change_deg field is
@@ -42,10 +43,10 @@ def oracle():
     if not (REF / "dogleg.c").exists() or shutil.which("gcc") is None:
         pytest.skip("reference source or gcc unavailable")
     BUILD.mkdir(exist_ok=True)
-    shutil.copy(ORACLE_SRC / "cholmod_stub.h", BUILD / "cholmod.h")
+    shutil.copy(ORACLE_SRC / "minichol.h", BUILD / "cholmod.h")
     exe = BUILD / "sample_ref"
     cmd = ["gcc", "-O2", "-o", str(exe),
-           str(ORACLE_SRC / "cholmod_stub.c"),
+           str(ORACLE_SRC / "minichol.c"),
            str(REF / "dogleg.c"), str(REF / "sample.c"),
            f"-I{BUILD}", f"-I{REF}", "-l:liblapack.so.3", "-lm"]
     try:
@@ -125,9 +126,11 @@ def our_vnlog_rows(mode):
 @pytest.mark.parametrize("ref_mode,our_mode", [
     ("dense", "dense"),
     ("dense-products-unpacked", "products"),
-    # modes with no buildable reference counterpart here, diffed against
-    # the reference's dense trace (same problem, same math):
-    ("dense", "sparse"),      # block-CSR products path
+    # the reference's REAL sparse path (dogleg_optimize2 through the
+    # functional minichol CHOLMOD subset) vs our block-CSR products path:
+    ("sparse", "sparse"),
+    # modes with no reference counterpart, diffed against the reference's
+    # dense trace (same problem, same math):
     ("dense", "residual"),    # autodiff-Jacobian path
     ("dense", "sharded"),     # measurement-sharded psum path, 4-device mesh
 ])

@@ -55,10 +55,10 @@ def libref():
     if not (REF / "dogleg.c").exists() or shutil.which("gcc") is None:
         pytest.skip("reference source or gcc unavailable")
     BUILD.mkdir(exist_ok=True)
-    shutil.copy(ORACLE_SRC / "cholmod_stub.h", BUILD / "cholmod.h")
+    shutil.copy(ORACLE_SRC / "minichol.h", BUILD / "cholmod.h")
     so = BUILD / "libdogleg_ref.so"
     cmd = ["gcc", "-O2", "-shared", "-fPIC", "-o", str(so),
-           str(ORACLE_SRC / "cholmod_stub.c"), str(REF / "dogleg.c"),
+           str(ORACLE_SRC / "minichol.c"), str(REF / "dogleg.c"),
            f"-I{BUILD}", f"-I{REF}", "-l:liblapack.so.3", "-lm"]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
@@ -287,7 +287,7 @@ def test_random_products_trace_parity(libref, seed, nstate, nmeas, packed,
 # side's converged context and compare against analysis.outlierness.
 
 class _CholmodCommonStub(ctypes.Structure):
-    # mirrors tests/reference_oracle/cholmod_stub.h (the .so was built
+    # mirrors tests/reference_oracle/minichol.h (the .so was built
     # against it, so the embedded layout is this stub's)
     _fields_ = [("supernodal", ctypes.c_int),
                 ("print_function", ctypes.c_void_p),
