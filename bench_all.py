@@ -169,6 +169,49 @@ def config7_pinhole_ba(ncam=32, npts=20000):
          converged=bool(np.asarray(out) < 1.0 * nobs_res))
 
 
+def config8_batched_midsize(nstate=64, batch=512, meas_factor=4):
+    """Mid-size batched throughput: dense Nstate=64/128 problems, the
+    regime ABOVE smallchol.SMALL_N_MAX=16 where the batch rides the
+    blocked lax.linalg Cholesky (multi-camera-calibration scale). The
+    Nstate=6 headline (config 3) says nothing about this branch; this
+    config tracks it. Problem family: the random-parity tanh residuals
+    r = A tanh(Bp) + Cp - d with analytic J (one instance per element)."""
+    nmeas = meas_factor * nstate
+    rng = np.random.default_rng(8)
+    A = jnp.asarray(rng.normal(size=(batch, nmeas, nstate)), DTYPE)
+    Bm = jnp.asarray(rng.normal(size=(batch, nstate, nstate)) * 0.5
+                     / np.sqrt(nstate), DTYPE)
+    C = jnp.asarray(rng.normal(size=(batch, nmeas, nstate)) * 0.3, DTYPE)
+    p_true = rng.normal(size=(batch, nstate))
+    d_np = (np.einsum('bms,bs->bm', np.asarray(A),
+                      np.tanh(np.einsum('bst,bt->bs', np.asarray(Bm),
+                                        p_true)))
+            + np.einsum('bms,bs->bm', np.asarray(C), p_true)
+            + rng.normal(size=(batch, nmeas)) * 0.01)
+    d = jnp.asarray(d_np, DTYPE)
+    p0s = jnp.asarray(p_true + rng.normal(size=(batch, nstate)) * 0.1,
+                      DTYPE)
+
+    def products(p, data):
+        Ab, Bb, Cb, db = data
+        t = jnp.tanh(Bb @ p)
+        x = Ab @ t + Cb @ p - db
+        J = jnp.matmul(Ab, ((1.0 - t * t)[:, None]) * Bb,
+                       preferred_element_type=DTYPE) + Cb
+        return Products(norm2_x=x @ x, Jt_x=J.T @ x,
+                        JtJ=jnp.matmul(J.T, J,
+                                       preferred_element_type=DTYPE))
+
+    from libdogleg_tpu.parallel.batched import batched_optimize
+    f = jax.jit(lambda q, data: batched_optimize(
+        products, q, PRM, problem_data=data).p)
+    dt, out = timeit(f, p0s, (A, Bm, C, d))
+    err = np.abs(np.asarray(out) - p_true)
+    emit(f"8-batched-n{nstate}", "batched_solves_per_s", batch / dt,
+         "solves/s", nstate=nstate, nmeas=nmeas, batch=batch,
+         recovered_frac=round(float(np.mean(np.all(err < 0.05, -1))), 4))
+
+
 if __name__ == "__main__":
     config1_sparse()
     config2_dense()
@@ -177,3 +220,5 @@ if __name__ == "__main__":
     config5_outlierness()
     config6_sparse_grid()
     config7_pinhole_ba()
+    config8_batched_midsize(nstate=64, batch=512)
+    config8_batched_midsize(nstate=128, batch=256)

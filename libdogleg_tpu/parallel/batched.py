@@ -28,13 +28,39 @@ def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "dp") -> Any:
         lambda a: jax.device_put(a, sharding), tree)
 
 
+def _auto_newton(products_fn, p0_batch, problem_data):
+    """Batch-regime strategy default: for a dense square JtJ with mid-size
+    Nstate (17..256), the blocked-panel Cholesky beats XLA's batched
+    lax.linalg lowering by ~26x (ops/newton.BlockedDenseNewtonSolver);
+    below that smallchol already handles it, above it lax.linalg wins.
+    Returns None (solver default) outside that window or for structured
+    JtJ representations (Schur, block-sparse)."""
+    from libdogleg_tpu.ops.newton import (BLOCKED_MAX_N, BLOCKED_MIN_N,
+                                          BlockedDenseNewtonSolver)
+    try:
+        p0 = jax.tree_util.tree_map(lambda a: a[0], p0_batch)
+        if problem_data is None:
+            jtj = jax.eval_shape(lambda p: products_fn(p).JtJ, p0)
+        else:
+            d0 = jax.tree_util.tree_map(lambda a: a[0], problem_data)
+            jtj = jax.eval_shape(lambda p, d: products_fn(p, d).JtJ, p0, d0)
+    except Exception:
+        return None
+    shp = getattr(jtj, "shape", None)
+    if (shp is not None and len(shp) == 2 and shp[0] == shp[1]
+            and BLOCKED_MIN_N <= shp[0] <= BLOCKED_MAX_N):
+        return BlockedDenseNewtonSolver()
+    return None
+
+
 def batched_optimize(products_fn,
                      p0_batch: jnp.ndarray,
                      parameters: Optional[DoglegParameters] = None,
                      *,
                      mesh: Optional[Mesh] = None,
                      axis_name: str = "dp",
-                     problem_data: Any = None) -> SolveResult:
+                     problem_data: Any = None,
+                     newton_solver=None) -> SolveResult:
     """Solve a batch of independent problems, optionally mesh-sharded.
 
     Args:
@@ -47,17 +73,24 @@ def batched_optimize(products_fn,
         along the batch axis of this mesh; XLA partitions the whole vmapped
         while_loop with zero communication.
       problem_data: optional pytree with leading batch axis.
+      newton_solver: strategy override; None auto-selects
+        BlockedDenseNewtonSolver for dense mid-size JtJ (see _auto_newton);
+        pass DenseNewtonSolver() to force the XLA lax.linalg path.
 
     Returns a SolveResult whose leaves carry the leading batch axis.
     """
     prm = parameters if parameters is not None else DoglegParameters()
+    if newton_solver is None:
+        newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
 
     if problem_data is None:
-        solve_one = lambda p0: solve_products(products_fn, p0, prm)
+        solve_one = lambda p0: solve_products(products_fn, p0, prm,
+                                              newton_solver=newton_solver)
         args = (p0_batch,)
     else:
         solve_one = lambda p0, data: solve_products(
-            lambda p: products_fn(p, data), p0, prm)
+            lambda p: products_fn(p, data), p0, prm,
+            newton_solver=newton_solver)
         args = (p0_batch, problem_data)
 
     fn = jax.vmap(solve_one)
@@ -78,7 +111,8 @@ def batched_optimize_compacted(products_fn,
                                *,
                                problem_data: Any = None,
                                phase1_attempts: int = 10,
-                               compact_capacity: Optional[int] = None):
+                               compact_capacity: Optional[int] = None,
+                               newton_solver=None):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
@@ -98,6 +132,8 @@ def batched_optimize_compacted(products_fn,
     prm = parameters if parameters is not None else DoglegParameters()
     batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
     cap = compact_capacity or max(batch // 4, 1)
+    if newton_solver is None:
+        newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
 
     def products_of(data):
         if problem_data is None:
@@ -110,7 +146,8 @@ def batched_optimize_compacted(products_fn,
             return init_solver_state(products_of(d), p0, prm)
 
         def seg_one(st, d, k):
-            return run_solver(products_of(d), st, prm, max_new_attempts=k)
+            return run_solver(products_of(d), st, prm, max_new_attempts=k,
+                              newton_solver=newton_solver)
 
         st = jax.vmap(init_one)(p0s, data)
         st = jax.vmap(lambda s, d: seg_one(s, d, phase1_attempts))(st, data)
@@ -120,7 +157,8 @@ def batched_optimize_compacted(products_fn,
         # its own identical state)
         idx = jnp.nonzero(~st.done, size=cap, fill_value=0)[0]
         take = lambda x: jax.tree_util.tree_map(lambda a: a[idx], x)
-        sub = jax.vmap(lambda s, d: run_solver(products_of(d), s, prm))(
+        sub = jax.vmap(lambda s, d: run_solver(products_of(d), s, prm,
+                                               newton_solver=newton_solver))(
             take(st), take(data))
         st = jax.tree_util.tree_map(
             lambda full, part: full.at[idx].set(part), st, sub)
