@@ -58,9 +58,10 @@ def main():
     from libdogleg_tpu.parallel.batched import batched_optimize_compacted
 
     def solve_one_batch(p0s, meas_batch):
-        r = batched_optimize_compacted(
-            products, p0s, prm, problem_data=meas_batch,
-            phase1_attempts=11, compact_capacity=BATCH // 16)
+        # auto-tuned defaults: adaptive phase 1 + batch/16 capacity
+        # (recovers the hand-tuned phase1_attempts=11 headline, see README)
+        r = batched_optimize_compacted(products, p0s, prm,
+                                       problem_data=meas_batch)
         return r.p, r.step_count.astype(jnp.float32)
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)

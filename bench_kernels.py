@@ -107,6 +107,26 @@ def bench_dense_cholesky(n=2048, batch=8):
          note="sequential panel algorithm; SoL fraction is algorithmic")
 
 
+def bench_blocked_cholesky(batch=512, n=64):
+    """The mid-size batched factorization (ops/blockchol.py, config 8's hot
+    kernel). HBM-bound like small_cholesky (n=64 f32 is 16 KB/matrix);
+    also reports the lax.linalg baseline it replaced."""
+    from libdogleg_tpu.ops.blockchol import blocked_cholesky
+    rng = np.random.default_rng(4)
+    A = rng.normal(size=(batch, n, n)).astype(np.float32)
+    spd = jnp.asarray(A @ np.swapaxes(A, -1, -2)
+                      + n * np.eye(n, dtype=np.float32))
+    dt = measure_loop(lambda a: blocked_cholesky(a)[0], spd)
+    dt_xla = measure_loop(jnp.linalg.cholesky, spd)
+    gbytes = batch * (2 * n * n * 4) / 1e9
+    _, hbm = peaks()
+    emit("blocked_cholesky_batched", batch / dt / 1e3, "kfact/s",
+         n=n, batch=batch, achieved_gbps=round(gbytes / dt, 1),
+         sol_frac=round(gbytes / dt / hbm, 3), bound="HBM",
+         xla_lax_linalg_ms=round(dt_xla * 1e3, 2),
+         speedup_vs_xla=round(dt_xla / dt, 1))
+
+
 def bench_sparse_cholesky(nb=256, b=64, band=3):
     from libdogleg_tpu import sparse_cholesky as sc
     rows = np.array([i for j in range(nb)
@@ -135,10 +155,11 @@ def bench_sparse_cholesky(nb=256, b=64, band=3):
 
 
 if __name__ == "__main__":
-    print(f"# device: {jax.devices()[0].device_kind} "
-          f"(backend {jax.default_backend()})")
+    print(json.dumps({"device": jax.devices()[0].device_kind,
+                      "backend": jax.default_backend()}))
     bench_matmul_calibration()
     bench_small_cholesky()
     bench_jtj_formation()
     bench_dense_cholesky()
+    bench_blocked_cholesky()
     bench_sparse_cholesky()

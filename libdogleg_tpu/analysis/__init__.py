@@ -6,6 +6,7 @@ from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
                                                 get_outlierness_scale,
                                                 mark_outliers,
                                                 outlierness_trace_new_feature,
+                                                outlierness_trace_new_features_windowed,
                                                 pseudoinverse_rows,
                                                 report_outliers)
 
@@ -18,6 +19,7 @@ __all__ = [
     "get_outlierness_scale",
     "mark_outliers",
     "outlierness_trace_new_feature",
+    "outlierness_trace_new_features_windowed",
     "pseudoinverse_rows",
     "report_outliers",
 ]

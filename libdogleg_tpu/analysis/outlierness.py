@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from typing import Callable, NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -234,3 +235,73 @@ def outlierness_trace_new_feature(Jq: jnp.ndarray,
     scale = get_outlierness_scale(norm2_x, nmeasurements, nstate,
                                   n_outlier_features, feature_size)
     return scale * (feature_size - traceB)
+
+
+def outlierness_trace_new_features_windowed(Jq_win: jnp.ndarray,
+                                            istate_active: jnp.ndarray,
+                                            L: jnp.ndarray,
+                                            norm2_x,
+                                            nmeasurements: int,
+                                            *,
+                                            nstate: int = None,
+                                            n_outlier_features: int = 0,
+                                            solve_fn=None):
+    """Windowed, BATCHED query-point confidence.
+
+    The reference's istateActive/NstateActive window builds an
+    O(window)-sized synthetic Jt per query (reference dogleg.c:2794-2842);
+    the dense `outlierness_trace_new_feature` above takes a zero-padded
+    (fs, nstate) Jq instead — O(nstate) handling per query, which defeats
+    the point at large nstate. This form keeps the reference's windowed
+    contract AND batches many hypothetical features into one factor solve
+    (the mrcal use case: score every candidate observation of a
+    calibration object at once):
+
+    Args:
+      Jq_win: (nq, fs, w) query Jacobians, each touching only its w
+        consecutive states (w static; pad rows with zeros for narrower
+        queries).
+      istate_active: (nq,) int window starts.
+      L: lower Cholesky factor of JtJ (+ permanent lambda), or None when
+        solve_fn is given.
+      nstate: required when solve_fn is given (otherwise from L).
+      solve_fn: optional (nstate, k)-RHS JtJ solve (e.g. the block-sparse
+        factor of a large problem) used instead of L.
+
+    Returns (nq,) traces: scale * (fs - trace(inv(A_q + I))) per query,
+    identical to the dense form on the zero-padded Jq (tested). Per-query
+    work beyond the shared batched solve is O(w * fs), not O(nstate).
+    """
+    nq, fs, w = Jq_win.shape
+    n = L.shape[-1] if L is not None else nstate
+    if n is None:
+        raise ValueError("pass nstate when using solve_fn without L")
+    dtype = Jq_win.dtype
+    offs = jnp.arange(w)
+
+    # scatter all windows into one (nstate, nq*fs) RHS: one batched solve
+    # against the cached factorization (the reference re-solves per query,
+    # dogleg.c:2864-2868)
+    def scatter_one(jq, i0):
+        # (fs, w), scalar -> (nstate, fs)
+        rhs = jnp.zeros((n, fs), dtype)
+        return rhs.at[i0 + offs, :].set(jq.T, mode="drop")
+
+    rhs = jax.vmap(scatter_one)(Jq_win, istate_active)   # (nq, nstate, fs)
+    rhs_flat = jnp.moveaxis(rhs, 0, 1).reshape(n, nq * fs)
+    W = solve_fn(rhs_flat) if solve_fn is not None else \
+        cholesky_solve(L, rhs_flat)                      # (nstate, nq*fs)
+    Wq = jnp.moveaxis(W.reshape(n, nq, fs), 1, 0)        # (nq, nstate, fs)
+
+    # A_q = Jq_win @ W[window rows]: gather only each query's w rows
+    def gather_window(wq, i0):
+        return wq[i0 + offs, :]                          # (w, fs)
+
+    Wwin = jax.vmap(gather_window)(Wq, istate_active)    # (nq, w, fs)
+    A = jnp.einsum('qfw,qwg->qfg', Jq_win, Wwin,
+                   preferred_element_type=dtype)
+    B = jnp.linalg.inv(A + jnp.eye(fs, dtype=dtype)[None])
+    traceB = jnp.trace(B, axis1=-2, axis2=-1)            # (nq,)
+    scale = get_outlierness_scale(norm2_x, nmeasurements, n,
+                                  n_outlier_features, fs)
+    return scale * (fs - traceB)

@@ -110,19 +110,30 @@ def batched_optimize_compacted(products_fn,
                                parameters: Optional[DoglegParameters] = None,
                                *,
                                problem_data: Any = None,
-                               phase1_attempts: int = 10,
+                               phase1_attempts: Optional[int] = None,
                                compact_capacity: Optional[int] = None,
                                newton_solver=None):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
     so the tail of hard problems makes the whole batch pay (measured: mean
-    8.5 attempts vs max 15 on the benchmark workload). This variant runs
-    phase1_attempts for everyone, gathers the unfinished minority into a
-    compact_capacity-sized buffer (default batch/4), finishes only those,
-    scatters back, and runs a final full-batch pass as a correctness
-    safety net — a no-op when the capacity guess held, a full finish (same
-    result, no speedup) when it did not. Exact in all cases.
+    8.5 attempts vs max 15 on the benchmark workload). This variant runs a
+    full-width phase 1, gathers the unfinished minority into a
+    compact_capacity-sized buffer, finishes only those, scatters back, and
+    runs a final full-batch pass as a correctness safety net — a no-op
+    when the capacity held, a full finish (same result, no speedup) when
+    it did not. Exact in all cases.
+
+    Tuning (auto by default):
+      phase1_attempts=None runs phase 1 ADAPTIVELY: a batch-level
+        while_loop advances everyone one attempt at a time until the
+        not-done count fits compact_capacity (an in-graph reduction per
+        attempt — no host sync, so the decision costs nothing on a remote
+        backend). An integer pins the legacy fixed-length behavior.
+      compact_capacity=None defaults to batch/16: stragglers past the
+        ~94th percentile of the attempts distribution go to the compact
+        pass, whose per-wavefront cost is 1/16 of full width. Any value
+        is exact; this only moves work between phases.
 
     Returns a SolveResult with the leading batch axis, identical to
     batched_optimize.
@@ -131,7 +142,7 @@ def batched_optimize_compacted(products_fn,
                                       run_solver)
     prm = parameters if parameters is not None else DoglegParameters()
     batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
-    cap = compact_capacity or max(batch // 4, 1)
+    cap = compact_capacity or max(batch // 16, 1)
     if newton_solver is None:
         newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
 
@@ -150,7 +161,16 @@ def batched_optimize_compacted(products_fn,
                               newton_solver=newton_solver)
 
         st = jax.vmap(init_one)(p0s, data)
-        st = jax.vmap(lambda s, d: seg_one(s, d, phase1_attempts))(st, data)
+        if phase1_attempts is not None:
+            st = jax.vmap(lambda s, d: seg_one(s, d, phase1_attempts))(
+                st, data)
+        else:
+            # adaptive: stop full-width work exactly when the stragglers
+            # fit the compact buffer (or everyone terminated)
+            st = jax.lax.while_loop(
+                lambda s: jnp.sum(~s.done) > cap,
+                lambda s: jax.vmap(lambda si, d: seg_one(si, d, 1))(s, data),
+                st)
 
         # compact the stragglers (duplicate fill indices are harmless:
         # run_solver freezes done states, so re-solving lane 0 rewrites

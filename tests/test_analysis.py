@@ -268,3 +268,68 @@ def test_trace_new_feature_sparse_factor():
         Jq, None, jnp.asarray(12.0), 40,
         solve_fn=lambda r: sc.solve(sym, L, r))
     np.testing.assert_allclose(float(t_sp), float(t_ref), rtol=1e-9)
+
+
+def test_trace_new_features_windowed_matches_dense():
+    """The windowed batched query-point confidence (reference
+    istateActive/NstateActive contract, dogleg.c:2794-2842) equals the
+    dense zero-padded form query by query, for several window positions,
+    widths narrower than w (zero-padded rows), and feature sizes."""
+    from libdogleg_tpu.analysis import (
+        outlierness_trace_new_feature,
+        outlierness_trace_new_features_windowed)
+
+    rng = np.random.default_rng(21)
+    nstate, nmeas = 24, 96
+    J = rng.normal(size=(nmeas, nstate))
+    fac = factorize_jtj(jnp.asarray(J.T @ J), jnp.asarray(0.0))
+    norm2x = jnp.asarray(37.5)
+
+    for fs, w in [(1, 4), (2, 5), (3, 6)]:
+        nq = 7
+        starts = np.array([0, 3, 11, nstate - w, 5, 8, 2])
+        Jq_win = rng.normal(size=(nq, fs, w))
+        Jq_win[1, :, -2:] = 0.0   # a narrower window, zero-padded
+        got = outlierness_trace_new_features_windowed(
+            jnp.asarray(Jq_win), jnp.asarray(starts), fac.L, norm2x, nmeas)
+        assert got.shape == (nq,)
+        for q in range(nq):
+            Jq = np.zeros((fs, nstate))
+            Jq[:, starts[q]:starts[q] + w] = Jq_win[q]
+            ref = outlierness_trace_new_feature(jnp.asarray(Jq), fac.L,
+                                                norm2x, nmeas)
+            np.testing.assert_allclose(float(got[q]), float(ref),
+                                       rtol=1e-9, atol=1e-12)
+
+
+def test_trace_new_features_windowed_sparse_factor():
+    """Windowed batched queries against a block-sparse factor (solve_fn)
+    match the dense-factor result."""
+    from libdogleg_tpu import sparse_cholesky as sc
+    from libdogleg_tpu.analysis import (
+        outlierness_trace_new_features_windowed)
+
+    rng = np.random.default_rng(22)
+    nb, b = 8, 2
+    nstate = nb * b
+    J = rng.normal(size=(64, nstate))
+    JtJ = J.T @ J
+    fac = factorize_jtj(jnp.asarray(JtJ), jnp.asarray(0.0))
+    rows, cols = zip(*[(i, j) for i in range(nb) for j in range(i + 1)])
+    rows, cols = np.asarray(rows), np.asarray(cols)
+    blocks = jnp.asarray(np.stack(
+        [JtJ[i*b:(i+1)*b, j*b:(j+1)*b] for i, j in zip(rows, cols)]))
+    sym = sc.analyze(rows, cols, nb, b)
+    Lb, ok = sc.factorize(sym, blocks, jnp.asarray(0.0))
+    assert bool(ok)
+
+    nq, fs, w = 5, 2, 4
+    Jq_win = jnp.asarray(rng.normal(size=(nq, fs, w)))
+    starts = jnp.asarray(np.array([0, 4, 7, 12, 2]))
+    t_dense = outlierness_trace_new_features_windowed(
+        Jq_win, starts, fac.L, jnp.asarray(10.0), 64)
+    t_sp = outlierness_trace_new_features_windowed(
+        Jq_win, starts, None, jnp.asarray(10.0), 64, nstate=nstate,
+        solve_fn=lambda r: sc.solve(sym, Lb, r))
+    np.testing.assert_allclose(np.asarray(t_sp), np.asarray(t_dense),
+                               rtol=1e-9)

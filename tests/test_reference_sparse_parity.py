@@ -244,6 +244,7 @@ def test_sparse_outlierness_trace_parity(libref):
 
     feature_size = 2
     rng = np.random.default_rng(99)
+    ref_vals, wins = [], []
     for istate_active, nstate_active in [(0, 3), (5, 4), (12, 4), (7, 2)]:
         # reference layout: column-major (NstateActive, featureSize),
         # dogleg.c:2836-2850
@@ -260,6 +261,24 @@ def test_sparse_outlierness_trace_parity(libref):
             jnp.asarray(Jq), fac.L, jnp.asarray(float(x @ x)), nmeas)
         np.testing.assert_allclose(float(ours), ref_val,
                                    rtol=1e-8, atol=1e-12)
+        ref_vals.append(ref_val)
+        wins.append((istate_active, nstate_active, Jq_win))
+
+    # and the windowed BATCHED form against the same reference values:
+    # one solve for all queries, O(window) handling each (VERDICT ask 6)
+    from libdogleg_tpu.analysis import (
+        outlierness_trace_new_features_windowed)
+    wmax = max(na for _, na, _ in wins)
+    Jq_b = np.zeros((len(wins), feature_size, wmax))
+    starts = np.zeros(len(wins), np.int32)
+    for q, (i0, na, Jq_win) in enumerate(wins):
+        Jq_b[q, :, :na] = Jq_win.T
+        starts[q] = i0
+    batched = outlierness_trace_new_features_windowed(
+        jnp.asarray(Jq_b), jnp.asarray(starts), fac.L,
+        jnp.asarray(float(x @ x)), nmeas)
+    np.testing.assert_allclose(np.asarray(batched), np.asarray(ref_vals),
+                               rtol=1e-8, atol=1e-12)
 
     lib.dogleg_freeContext.restype = None
     lib.dogleg_freeContext.argtypes = [
