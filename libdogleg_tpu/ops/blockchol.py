@@ -64,7 +64,11 @@ def _trsm_right_lt(P: jnp.ndarray, Lkk: jnp.ndarray) -> jnp.ndarray:
     for j in range(b):
         s = P[..., :, j]
         for m in range(j):
-            s = s - X[m] * Lkk[..., None, j, m]
+            # note: Lkk[..., j, m] then [..., None] — fusing the newaxis
+            # into the integer indexing lowers as a >2-D gather, which the
+            # Pallas TPU backend cannot lower (this helper runs inside
+            # ops/pallas_blockchol.py kernels too)
+            s = s - X[m] * Lkk[..., j, m][..., None]
         X[j] = s * inv_d[j][..., None]
     return jnp.stack(X, axis=-1)
 

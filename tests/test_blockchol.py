@@ -94,3 +94,20 @@ def test_auto_newton_selection():
         p0s = jnp.zeros((3, nstate))
         ns = _auto_newton(make_products(2 * nstate, nstate), p0s, data)
         assert isinstance(ns, BlockedDenseNewtonSolver) == expect, nstate
+
+
+def test_pallas_blocked_cholesky_interpret():
+    """The shelved Pallas kernel (ops/pallas_blockchol.py — see its
+    measured VERDICT) stays correct: interpret mode on CPU vs numpy."""
+    from libdogleg_tpu.ops.pallas_blockchol import pallas_blocked_cholesky
+
+    rng = np.random.default_rng(5)
+    B, n = 8, 32
+    A = rng.normal(size=(B, n, n))
+    S = jnp.asarray((np.einsum('bij,bkj->bik', A, A)
+                     + n * np.eye(n)).astype(np.float32))
+    L, ok = pallas_blocked_cholesky(S, batch_tile=4, interpret=True)
+    assert bool(jnp.all(ok))
+    Lref = np.linalg.cholesky(np.asarray(S, np.float64))
+    np.testing.assert_allclose(np.asarray(L, np.float64), Lref,
+                               rtol=2e-4, atol=2e-4)
