@@ -29,6 +29,32 @@ the same permanent escalating-lambda loop as the dense path (reference
 dogleg.c:670-676). Works for any uniform block size b >= 1 (b == 1 is a
 scalar simplicial factorization, CHOLMOD's regime; b in MXU-tile sizes is
 the supernodal-style regime).
+
+Why the numeric factorization is deliberately SINGLE-DEVICE (round-2
+analysis of SURVEY.md section 7 hard part 1 / "sharded supernodal"):
+measured level-width statistics on the RCM+amalgamated grid-MRF family —
+nstate=8192: 127 levels, mean 1.3 / max 3 update ops per level;
+nstate=32768: 511 levels, mean 3.4 / p90 10 / max 10 update ops per level.
+Sharding a width-<=10 batch of 128-wide block ops over a mesh leaves <=2
+ops per device and inserts a collective (or a resharding of gathered
+slots) into EVERY one of the ~500 SEQUENTIAL levels; per-level compute
+(~10 blocks x 2*128^3 flops ~ microseconds at MXU rate) is the same order
+as one ICI collective's latency, so the mesh would at best break even and
+on DCN would lose outright. The factorization's bottleneck is the
+elimination-tree critical path (level COUNT), which no data sharding
+shortens. The distributed answer for huge nstate is structural
+decomposition instead — Schur elimination over pytree states with the
+point/camera shards on the mesh (ops/newton.TreeSchurNewtonSolver,
+parallel/sharded.MeasurementShardedSparseProblem), which communicates
+once per products evaluation, not once per elimination level.
+
+Two batched-factorization swap attempts are also recorded: replacing the
+per-level lax.linalg block ops with ops/blockchol's unrolled panels never
+finished compiling inside the level scan (>15 min at super-block 128 AND
+64, vs ~80 s baseline — the unrolled DAG multiplies across the scan's
+gather/scatter structure), and the Pallas kernel form runs 18x slower
+than blockchol outside the scan (ops/pallas_blockchol.py VERDICT). The
+lax.linalg block ops stay.
 """
 
 from __future__ import annotations
