@@ -142,8 +142,12 @@ class PinholeBA(NamedTuple):
                         JtJ=SchurJtJ(U=U, W=W, V=V))
 
     def newton_solver(self) -> TreeSchurNewtonSolver:
+        # point_solver="lax": in this model's long nonlinear solve the
+        # unrolled point-block DAG regresses end-to-end latency (measured
+        # 1.69 s lax vs 1.98 s unrolled on bench config 7) even though it
+        # wins isolated — see ops/newton.SchurNewtonSolver.point_solver.
         return TreeSchurNewtonSolver(nc=self.ncam * 6, n_points=self.npts,
-                                     block_size=3)
+                                     block_size=3, point_solver="lax")
 
     def p0(self, key=None, jitter: float = 0.0, dtype=None):
         """Initial state: the prior points and zero poses (plus optional

@@ -129,6 +129,16 @@ class SchurNewtonSolver:
     nc: int
     n_points: int
     block_size: int
+    # Point-block factor/solve backend for block_size <= 16:
+    #   "unrolled" — smallchol flat VPU DAGs. Isolated measurements win by
+    #     orders of magnitude ((20000, 3, 3) chol: 9.4 us vs 6832 us) and
+    #     the linear-BA latency config drops 17 -> 2.9 ms (5.9x).
+    #   "lax" — lax.linalg. Inside a LONG nonlinear solve the unrolled DAG
+    #     interacts badly with XLA's scheduling of the surrounding
+    #     while_loop/cond program: the pinhole-BA config measured 1.69 s
+    #     (lax) vs 1.98 s (unrolled), so models in that regime opt out.
+    # block_size > 16 always uses lax.
+    point_solver: str = "unrolled"
 
     def quad_form(self, JtJ: SchurJtJ, v):
         vc, vp = schur_split(v, self.nc, self.n_points, self.block_size)
@@ -141,18 +151,29 @@ class SchurNewtonSolver:
         return uv + 2.0 * jnp.dot(vc, wv) + vv
 
     def _try_factor(self, JtJ: SchurJtJ, lam):
+        from libdogleg_tpu.ops import smallchol
+
         bs = self.block_size
         eye_b = jnp.eye(bs, dtype=JtJ.V.dtype)
         Vhat = JtJ.V + lam * eye_b
-        Lv = jnp.linalg.cholesky(Vhat)                  # (np, bs, bs)
-        ok_v = jnp.all(jnp.isfinite(Lv)) & jnp.all(
-            jnp.diagonal(Lv, axis1=-2, axis2=-1) > 0)
-        # Vhat^{-1} W^T via batched triangular solves: solve per point block.
         Wt = jnp.transpose(JtJ.W, (1, 2, 0))            # (np, bs, nc)
-        Y = jax.lax.linalg.triangular_solve(Lv, Wt, left_side=True,
-                                            lower=True)
-        Y = jax.lax.linalg.triangular_solve(Lv, Y, left_side=True,
-                                            lower=True, transpose_a=True)
+        if bs <= smallchol.SMALL_N_MAX and self.point_solver == "unrolled":
+            # batched tiny blocks: XLA's lax.linalg lowering is the wrong
+            # regime by orders of magnitude (measured (20000, 3, 3):
+            # 6832 us chol / 483 us trisolve vs 9.4 us / 88 us unrolled)
+            Lv, okb = smallchol.small_cholesky(Vhat)    # (np, bs, bs)
+            ok_v = jnp.all(okb)
+            Y = smallchol.small_cho_solve_mat(Lv, Wt)
+        else:
+            Lv = jnp.linalg.cholesky(Vhat)
+            ok_v = jnp.all(jnp.isfinite(Lv)) & jnp.all(
+                jnp.diagonal(Lv, axis1=-2, axis2=-1) > 0)
+            # Vhat^{-1} W^T via batched triangular solves per point block.
+            Y = jax.lax.linalg.triangular_solve(Lv, Wt, left_side=True,
+                                                lower=True)
+            Y = jax.lax.linalg.triangular_solve(Lv, Y, left_side=True,
+                                                lower=True,
+                                                transpose_a=True)
         # S = U + lam I - sum_p W_p Vhat_p^{-1} W_p^T
         S = (JtJ.U + lam * jnp.eye(self.nc, dtype=JtJ.U.dtype)
              - jnp.einsum('cpb,pbd->cd', JtJ.W, Y,
@@ -170,8 +191,13 @@ class SchurNewtonSolver:
             lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
 
+        from libdogleg_tpu.ops import smallchol
+
         def vsolve(b):
             # (np, bs, k) batched solve with the point-block factors
+            if (self.block_size <= smallchol.SMALL_N_MAX
+                    and self.point_solver == "unrolled"):
+                return smallchol.small_cho_solve_mat(Lv, b)
             y = jax.lax.linalg.triangular_solve(Lv, b, left_side=True,
                                                 lower=True)
             return jax.lax.linalg.triangular_solve(Lv, y, left_side=True,

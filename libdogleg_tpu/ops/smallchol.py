@@ -54,6 +54,38 @@ def small_cholesky(A: jnp.ndarray):
     return jnp.stack(rows, axis=-2), ok
 
 
+def small_fwd_solve_mat(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve L Y = B for (..., n, k) right-hand sides, n static: unrolled
+    forward substitution, each step a full-width (..., k) vector op.
+    Replaces jax.lax.linalg.triangular_solve in the batched small-block
+    regime (measured (20000, 3, 3) x (3, 192): 88 us vs 483 us)."""
+    n = L.shape[-1]
+    Y = [None] * n
+    for i in range(n):
+        s = B[..., i, :]
+        for m in range(i):
+            s = s - L[..., i, m][..., None] * Y[m]
+        Y[i] = s / L[..., i, i][..., None]
+    return jnp.stack(Y, axis=-2)
+
+
+def small_bwd_solve_mat(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve L^T Z = B for (..., n, k) right-hand sides, n static."""
+    n = L.shape[-1]
+    Z = [None] * n
+    for i in reversed(range(n)):
+        s = B[..., i, :]
+        for m in range(i + 1, n):
+            s = s - L[..., m, i][..., None] * Z[m]
+        Z[i] = s / L[..., i, i][..., None]
+    return jnp.stack(Z, axis=-2)
+
+
+def small_cho_solve_mat(L: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Solve (L L^T) Z = B for (..., n, k) right-hand sides, n static."""
+    return small_bwd_solve_mat(L, small_fwd_solve_mat(L, B))
+
+
 def small_cho_solve(L: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     """Unrolled forward+back substitution: solve (L L^T) z = b for one
     (..., n) right-hand side, n static."""
