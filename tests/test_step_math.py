@@ -185,3 +185,34 @@ def test_kernels_are_jittable_and_vmappable():
     out = cauchy_batch(Jb, xb)
     assert out.shape == (2, J.shape[1])
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_small_cho_solve_mat_matches_numpy():
+    """The multi-RHS unrolled substitutions (the Schur point-block
+    backend, ops/smallchol.py) solve (L L^T) Z = B exactly."""
+    import numpy as np
+
+    from libdogleg_tpu.ops.smallchol import (small_bwd_solve_mat,
+                                             small_cho_solve_mat,
+                                             small_cholesky,
+                                             small_fwd_solve_mat)
+
+    rng = np.random.default_rng(7)
+    for bs, batch, k in [(3, 50, 7), (6, 20, 1), (2, 1, 4)]:
+        A = rng.normal(size=(batch, bs, bs))
+        S = A @ np.swapaxes(A, -1, -2) + bs * np.eye(bs)
+        B = rng.normal(size=(batch, bs, k))
+        L, ok = small_cholesky(jnp.asarray(S))
+        assert bool(jnp.all(ok))
+        Z = small_cho_solve_mat(L, jnp.asarray(B))
+        np.testing.assert_allclose(np.asarray(Z), np.linalg.solve(S, B),
+                                   rtol=1e-9, atol=1e-10)
+        Y = small_fwd_solve_mat(L, jnp.asarray(B))
+        np.testing.assert_allclose(
+            np.asarray(Y), np.linalg.solve(np.asarray(L), B),
+            rtol=1e-9, atol=1e-10)
+        Z2 = small_bwd_solve_mat(L, jnp.asarray(B))
+        np.testing.assert_allclose(
+            np.asarray(Z2),
+            np.linalg.solve(np.swapaxes(np.asarray(L), -1, -2), B),
+            rtol=1e-9, atol=1e-10)
