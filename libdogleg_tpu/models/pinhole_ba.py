@@ -80,10 +80,80 @@ class PinholeBA(NamedTuple):
             self.cam_idx, p["q"][self.pt_idx])
         return (proj - self.obs).reshape(-1)
 
+    @property
+    def _dense_grid(self) -> bool:
+        """True when the observations form the canonical cam-major full
+        visibility grid (every camera sees every point, make_synthetic's
+        layout) — enables the scatter-free products path."""
+        ci = np.asarray(self.cam_idx)
+        if ci.shape[0] != self.ncam * self.npts:
+            return False
+        pi = np.asarray(self.pt_idx)
+        return bool(
+            (ci == np.repeat(np.arange(self.ncam), self.npts)).all()
+            and (pi == np.tile(np.arange(self.npts), self.ncam)).all())
+
+    def _products_grid(self, p) -> Products:
+        """Scatter-free arrow-system assembly over the (ncam, npts) grid.
+
+        The generic path below scatters 640k (6,3)/(3,3)/(6,6) blocks into
+        U/V/W — TPU scatter-adds measured ~46 ms for W alone at
+        ncam=32/npts=20000 (155 ms for the whole products evaluation, the
+        bench-config-7 bottleneck). With full visibility every (cam, point)
+        pair exists, so every reduction is a dense einsum and W is a
+        transpose — no scatters at all."""
+        dt = p["c"].dtype
+        cams = p["c"].reshape(self.ncam, 6)
+        q = p["q"]
+        obs_g = self.obs.reshape(self.ncam, self.npts, 2)
+
+        def jac_pair(cam, point, ob):
+            r = project(cam, point, self.focal) - ob
+            Jc = jax.jacfwd(lambda c: project(c, point, self.focal))(cam)
+            Jq = jax.jacfwd(lambda s: project(cam, s, self.focal))(point)
+            return r, Jc, Jq
+
+        r, Jc, Jq = jax.vmap(jax.vmap(jac_pair, in_axes=(None, 0, 0)),
+                             in_axes=(0, None, 0))(cams, q, obs_g)
+        # r (ncam, npts, 2); Jc (ncam, npts, 2, 6); Jq (ncam, npts, 2, 3)
+
+        nc = self.ncam * 6
+        w0 = jnp.asarray(self.w_prior_cam0, dt)
+        wp = jnp.asarray(self.w_prior_pts, dt)
+        r_cam0 = jnp.sqrt(w0) * (p["c"][:6] - self.cam0_prior)
+        r_pts = jnp.sqrt(wp) * (q - self.pts_prior)
+        norm2_x = (jnp.sum(r * r) + jnp.dot(r_cam0, r_cam0)
+                   + jnp.sum(r_pts * r_pts))
+
+        gc = jnp.einsum('cpij,cpi->cj', Jc, r,
+                        preferred_element_type=dt).reshape(nc)
+        gc = gc.at[:6].add(w0 * (p["c"][:6] - self.cam0_prior))
+        gq = jnp.einsum('cpij,cpi->pj', Jq, r,
+                        preferred_element_type=dt) + wp * (q - self.pts_prior)
+
+        U_blk = jnp.einsum('cpij,cpik->cjk', Jc, Jc,
+                           preferred_element_type=dt)
+        U = jax.scipy.linalg.block_diag(
+            *[U_blk[i] for i in range(self.ncam)])
+        U = U.at[:6, :6].add(w0 * jnp.eye(6, dtype=dt))
+
+        V = jnp.einsum('cpij,cpik->pjk', Jq, Jq,
+                       preferred_element_type=dt) + wp * jnp.eye(3, dtype=dt)
+
+        W = jnp.einsum('cpij,cpik->cjpk', Jc, Jq,
+                       preferred_element_type=dt).reshape(nc, self.npts, 3)
+
+        return Products(norm2_x=norm2_x,
+                        Jt_x={"c": gc, "q": gq},
+                        JtJ=SchurJtJ(U=U, W=W, V=V))
+
     def products(self, p) -> Products:
         """Per-observation autodiff Jacobians -> arrow system by
         segment-sum. The camera block U is block-diagonal by camera but
-        assembled dense (nc is small); W/V are per-point."""
+        assembled dense (nc is small); W/V are per-point. Full-visibility
+        instances take the scatter-free grid path (_products_grid)."""
+        if self._dense_grid:
+            return self._products_grid(p)
         dt = p["c"].dtype
         cams = p["c"].reshape(self.ncam, 6)
         q = p["q"]
@@ -142,12 +212,12 @@ class PinholeBA(NamedTuple):
                         JtJ=SchurJtJ(U=U, W=W, V=V))
 
     def newton_solver(self) -> TreeSchurNewtonSolver:
-        # point_solver="lax": in this model's long nonlinear solve the
-        # unrolled point-block DAG regresses end-to-end latency (measured
-        # 1.69 s lax vs 1.98 s unrolled on bench config 7) even though it
-        # wins isolated — see ops/newton.SchurNewtonSolver.point_solver.
+        # default (unrolled) point solver: with the scatter-free grid
+        # products, bench config 7 measures 91 ms unrolled vs 161 ms lax
+        # (in the old scatter-products regime the ordering was reversed —
+        # see ops/newton.SchurNewtonSolver.point_solver).
         return TreeSchurNewtonSolver(nc=self.ncam * 6, n_points=self.npts,
-                                     block_size=3, point_solver="lax")
+                                     block_size=3)
 
     def p0(self, key=None, jitter: float = 0.0, dtype=None):
         """Initial state: the prior points and zero poses (plus optional

@@ -130,13 +130,14 @@ class SchurNewtonSolver:
     n_points: int
     block_size: int
     # Point-block factor/solve backend for block_size <= 16:
-    #   "unrolled" — smallchol flat VPU DAGs. Isolated measurements win by
-    #     orders of magnitude ((20000, 3, 3) chol: 9.4 us vs 6832 us) and
-    #     the linear-BA latency config drops 17 -> 2.9 ms (5.9x).
-    #   "lax" — lax.linalg. Inside a LONG nonlinear solve the unrolled DAG
-    #     interacts badly with XLA's scheduling of the surrounding
-    #     while_loop/cond program: the pinhole-BA config measured 1.69 s
-    #     (lax) vs 1.98 s (unrolled), so models in that regime opt out.
+    #   "unrolled" (default) — smallchol flat VPU DAGs. Measured wins:
+    #     (20000, 3, 3) chol 9.4 us vs 6832 us lax (727x); linear-BA
+    #     latency 17 -> 2.9 ms; pinhole-BA 91 ms vs 161 ms lax.
+    #   "lax" — lax.linalg, kept as an escape hatch: when a SLOW products
+    #     evaluation dominated the pinhole-BA loop (the old scatter-based
+    #     assembly), the unrolled DAG scheduled badly against it and lax
+    #     measured faster (1.69 vs 1.98 s) — if a model's solve regresses
+    #     with the default, A/B this flag.
     # block_size > 16 always uses lax.
     point_solver: str = "unrolled"
 

@@ -158,3 +158,34 @@ def test_pinhole_ba_gradients_and_convergence():
     # residual level consistent with the injected pixel noise
     nobs_res = 2 * ba.nobs
     assert float(r.norm2_x) < 0.5 ** 2 * nobs_res
+
+
+def test_pinhole_ba_grid_products_match_scatter_path():
+    """The scatter-free full-visibility products (_products_grid) equal
+    the generic per-observation scatter assembly: permuting the
+    observation order defeats the grid detection, forcing the generic
+    path on identical data."""
+    import numpy as np
+
+    from libdogleg_tpu.models import pinhole_ba
+
+    ba = pinhole_ba.make_synthetic(seed=3, ncam=4, npts=40)
+    assert ba._dense_grid
+    rng = np.random.default_rng(1)
+    perm = rng.permutation(ba.nobs)
+    ba_perm = ba._replace(cam_idx=ba.cam_idx[perm],
+                          pt_idx=ba.pt_idx[perm], obs=ba.obs[perm])
+    assert not ba_perm._dense_grid
+
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    a = jax.jit(lambda pc, pq: ba.products({"c": pc, "q": pq}))(
+        p0["c"], p0["q"])
+    b = jax.jit(lambda pc, pq: ba_perm.products({"c": pc, "q": pq}))(
+        p0["c"], p0["q"])
+    np.testing.assert_allclose(float(a.norm2_x), float(b.norm2_x),
+                               rtol=1e-12)
+    for x, y in [(a.Jt_x["c"], b.Jt_x["c"]), (a.Jt_x["q"], b.Jt_x["q"]),
+                 (a.JtJ.U, b.JtJ.U), (a.JtJ.W, b.JtJ.W),
+                 (a.JtJ.V, b.JtJ.V)]:
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-9, atol=1e-12)
