@@ -169,6 +169,26 @@ def config7_pinhole_ba(ncam=32, npts=20000):
          converged=bool(np.asarray(out) < 1.0 * nobs_res))
 
 
+def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4):
+    """Large sparse-visibility bundle adjustment: each point seen by k_obs
+    of the 128 cameras. The dense coupling W of SchurJtJ would be
+    nc x npts x 3 f32 = 460 MB here and is never built — SparseWSchurJtJ
+    stores the 14 MB of actual nonzero blocks and the solver reduces over
+    the camera axis with one-hot MXU einsums (ops/newton.py). A scale the
+    dense-W path cannot reach on one chip."""
+    ba = pinhole_ba.make_synthetic_sparse(seed=0, ncam=ncam, npts=npts,
+                                          k_obs=k_obs, dtype=DTYPE)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    f = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, PRM,
+        newton_solver=ba.newton_solver()).norm2_x)
+    dt, out = timeit(f, p0["c"], p0["q"])
+    emit("7s-sparse-vis-ba", "solve_latency", dt * 1e3, "ms",
+         ncam=ncam, npts=npts, k_obs=k_obs, nobs=ba.nobs,
+         nstate=ba.nstate,
+         converged=bool(np.asarray(out) < 1.0 * 2 * ba.nobs))
+
+
 def config8_batched_midsize(nstate=64, batch=512, meas_factor=4):
     """Mid-size batched throughput: dense Nstate=64/128 problems, the
     regime ABOVE smallchol.SMALL_N_MAX=16 where the batch rides the
@@ -220,5 +240,6 @@ if __name__ == "__main__":
     config5_outlierness()
     config6_sparse_grid()
     config7_pinhole_ba()
+    config7s_sparse_visibility_ba()
     config8_batched_midsize(nstate=64, batch=512)
     config8_batched_midsize(nstate=128, batch=256)

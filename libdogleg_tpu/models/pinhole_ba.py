@@ -280,3 +280,173 @@ def make_synthetic(seed: int = 0, ncam: int = 6, npts: int = 200,
         pts_prior=jnp.asarray(pts, dtype),
         p_true={"c": jnp.asarray(cams.reshape(-1), dtype),
                 "q": jnp.asarray(pts, dtype)})
+
+
+# ---------------------------------------------------------------------------
+# Sparse visibility: each point observed by only k_obs of the cameras — the
+# realistic large-scale BA regime, where the dense coupling matrix W of
+# SchurJtJ is infeasible (460 MB at ncam=128, npts=50000, bs=3) and the
+# SparseWSchurJtJ form stores exactly the k_obs nonzero blocks per point.
+
+from libdogleg_tpu.ops.newton import (SparseWSchurJtJ,  # noqa: E402
+                                      SparseWSchurNewtonSolver)
+
+
+class SparseVisibilityPinholeBA(NamedTuple):
+    """Pinhole BA with point-major regular sparse visibility: point p is
+    observed by cameras cam_of[p, :] (exactly k_obs each). All products
+    are scatter-free: per-point reductions are dense einsums over the
+    (npts, k_obs) grid; camera-axis reductions are one-hot MXU einsums;
+    camera-axis broadcasts are gathers (see SparseWSchurNewtonSolver)."""
+    ncam: int
+    npts: int
+    k_obs: int
+    focal: float
+    cam_of: jnp.ndarray      # (npts, k_obs) int32
+    obs: jnp.ndarray         # (npts, k_obs, 2)
+    w_prior_cam0: float
+    w_prior_pts: float
+    cam0_prior: jnp.ndarray  # (6,)
+    pts_prior: jnp.ndarray   # (npts, 3)
+    p_true: dict
+
+    @property
+    def nobs(self) -> int:
+        return self.npts * self.k_obs
+
+    @property
+    def nstate(self) -> int:
+        return self.ncam * 6 + self.npts * 3
+
+    def products(self, p) -> Products:
+        dt = p["c"].dtype
+        cams = p["c"].reshape(self.ncam, 6)
+        q = p["q"]
+        cam_g = cams[self.cam_of]                        # (npts, k_obs, 6)
+
+        def jac_pair(cam, point, ob):
+            r = project(cam, point, self.focal) - ob
+            Jc = jax.jacfwd(lambda c: project(c, point, self.focal))(cam)
+            Jq = jax.jacfwd(lambda s: project(cam, s, self.focal))(point)
+            return r, Jc, Jq
+
+        r, Jc, Jq = jax.vmap(jax.vmap(jac_pair, in_axes=(0, None, 0)))(
+            cam_g, q, self.obs)
+        # r (npts, k_obs, 2); Jc (..., 2, 6); Jq (..., 2, 3)
+
+        nc = self.ncam * 6
+        w0 = jnp.asarray(self.w_prior_cam0, dt)
+        wp = jnp.asarray(self.w_prior_pts, dt)
+        r_cam0 = jnp.sqrt(w0) * (p["c"][:6] - self.cam0_prior)
+        r_pts = jnp.sqrt(wp) * (q - self.pts_prior)
+        norm2_x = (jnp.sum(r * r) + jnp.dot(r_cam0, r_cam0)
+                   + jnp.sum(r_pts * r_pts))
+
+        E = (self.cam_of[..., None]
+             == jnp.arange(self.ncam, dtype=self.cam_of.dtype)
+             ).astype(dt)                                # (npts, k_obs, ncam)
+        gc = jnp.einsum('pkc,pkij,pki->cj', E, Jc, r,
+                        preferred_element_type=dt).reshape(nc)
+        gc = gc.at[:6].add(w0 * (p["c"][:6] - self.cam0_prior))
+        gq = jnp.einsum('pkij,pki->pj', Jq, r,
+                        preferred_element_type=dt) + wp * (q - self.pts_prior)
+
+        U_blk = jnp.einsum('pkc,pkij,pkim->cjm', E, Jc, Jc,
+                           preferred_element_type=dt)    # (ncam, 6, 6)
+        U = jax.scipy.linalg.block_diag(
+            *[U_blk[i] for i in range(self.ncam)])
+        U = U.at[:6, :6].add(w0 * jnp.eye(6, dtype=dt))
+
+        V = jnp.einsum('pkij,pkim->pjm', Jq, Jq,
+                       preferred_element_type=dt) + wp * jnp.eye(3, dtype=dt)
+        Wv = jnp.einsum('pkij,pkim->pkjm', Jc, Jq,
+                        preferred_element_type=dt)       # (npts, k_obs, 6, 3)
+
+        return Products(norm2_x=norm2_x,
+                        Jt_x={"c": gc, "q": gq},
+                        JtJ=SparseWSchurJtJ(U=U, Wv=Wv, cam_of=self.cam_of,
+                                            V=V))
+
+    def dense_w_products(self, p) -> Products:
+        """The same system with W densified into a SchurJtJ — the
+        equivalence oracle for tests (and the memory-infeasible form this
+        model exists to avoid)."""
+        pr = self.products(p)
+        J = pr.JtJ
+        nc = self.ncam * 6
+        Wc = jnp.zeros((self.ncam, 6, self.npts, 3), J.U.dtype)
+        pidx = jnp.broadcast_to(jnp.arange(self.npts)[:, None],
+                                self.cam_of.shape)
+        Wc = Wc.at[self.cam_of, :, pidx].add(J.Wv)
+        from libdogleg_tpu.ops.newton import SchurJtJ
+        return Products(norm2_x=pr.norm2_x, Jt_x=pr.Jt_x,
+                        JtJ=SchurJtJ(U=J.U, W=Wc.reshape(nc, self.npts, 3),
+                                     V=J.V))
+
+    def newton_solver(self) -> SparseWSchurNewtonSolver:
+        return SparseWSchurNewtonSolver(nc=self.ncam * 6,
+                                        n_points=self.npts,
+                                        block_size=3, k_obs=self.k_obs)
+
+    def p0(self, key=None, jitter: float = 0.0, dtype=None):
+        dtype = dtype or self.obs.dtype
+        if jitter:
+            k1, k2 = jax.random.split(key)
+            return {
+                "c": (self.p_true["c"].astype(dtype)
+                      + jitter * jax.random.normal(
+                          k1, self.p_true["c"].shape, dtype)),
+                "q": (self.p_true["q"].astype(dtype)
+                      + jitter * jax.random.normal(
+                          k2, self.p_true["q"].shape, dtype))}
+        c0 = jnp.zeros((self.ncam * 6,), dtype)
+        c0 = c0.at[:6].set(self.cam0_prior.astype(dtype))
+        return {"c": c0, "q": self.pts_prior.astype(dtype)}
+
+
+def make_synthetic_sparse(seed: int = 0, ncam: int = 16, npts: int = 1000,
+                          k_obs: int = 4, focal: float = 500.0,
+                          pixel_noise: float = 0.5,
+                          dtype=jnp.float64) -> SparseVisibilityPinholeBA:
+    """Ring of cameras, each point seen by k_obs consecutive cameras
+    nearest its azimuth (a realistic covisibility band)."""
+    rng = np.random.default_rng(seed)
+    pts = rng.normal(size=(npts, 3)) * np.array([2.0, 2.0, 0.5])
+    cams = []
+    for i in range(ncam):
+        ang = 2 * np.pi * i / ncam
+        rvec = rng.normal(size=3) * 0.05
+        tvec = np.array([1.5 * np.cos(ang), 1.5 * np.sin(ang), 6.0])
+        cams.append(np.concatenate([rvec, tvec]))
+    cams = np.asarray(cams)
+
+    az = np.arctan2(pts[:, 1], pts[:, 0])
+    base = np.round(az / (2 * np.pi) * ncam).astype(int)
+    cam_of = (base[:, None] + np.arange(k_obs)[None, :]) % ncam
+
+    def np_project(cam, pt):
+        r, t = cam[:3], cam[3:]
+        theta = np.linalg.norm(r)
+        if theta < 1e-12:
+            pc = pt + t
+        else:
+            k = r / theta
+            pc = (pt * np.cos(theta) + np.cross(k, pt) * np.sin(theta)
+                  + k * np.dot(k, pt) * (1 - np.cos(theta))) + t
+        return focal * pc[:2] / pc[2]
+
+    obs = np.zeros((npts, k_obs, 2))
+    for pi in range(npts):
+        for kk in range(k_obs):
+            obs[pi, kk] = np_project(cams[cam_of[pi, kk]], pts[pi])
+    obs = obs + rng.normal(size=obs.shape) * pixel_noise
+
+    return SparseVisibilityPinholeBA(
+        ncam=ncam, npts=npts, k_obs=k_obs, focal=focal,
+        cam_of=jnp.asarray(cam_of, jnp.int32),
+        obs=jnp.asarray(obs, dtype),
+        w_prior_cam0=1e6, w_prior_pts=1e-4,
+        cam0_prior=jnp.asarray(cams[0], dtype),
+        pts_prior=jnp.asarray(pts, dtype),
+        p_true={"c": jnp.asarray(cams.reshape(-1), dtype),
+                "q": jnp.asarray(pts, dtype)})

@@ -340,3 +340,115 @@ def schur_to_dense(JtJ: SchurJtJ) -> jnp.ndarray:
     out = out.at[nc:, :nc].set(W.T)
     Vd = jax.scipy.linalg.block_diag(*[JtJ.V[i] for i in range(n_points)])
     return out.at[nc:, nc:].set(Vd)
+
+
+class SparseWSchurJtJ(NamedTuple):
+    """Arrow system with SPARSE camera-point coupling: the realistic
+    bundle-adjustment regime where each point is observed by only k_obs of
+    the cameras. The dense SchurJtJ.W is (nc, np, bs) — 460 MB at
+    ncam=128/np=50000/bs=3 — while only k_obs blocks per point are
+    nonzero; this form stores exactly those.
+
+    No reference equivalent (libdogleg hands BA systems whole to CHOLMOD);
+    the TPU design rule here is scatter-free consumption: every
+    camera-axis reduction is a one-hot MXU einsum and every camera-axis
+    broadcast is a gather (TPU scatters serialize; measured 46 ms to
+    scatter-assemble a dense W this size — models/pinhole_ba.py history).
+    """
+    U: jnp.ndarray        # (nc, nc) dense camera block (nc = ncam * cb)
+    Wv: jnp.ndarray       # (np, k_obs, cb, bs) nonzero W blocks, point-major
+    cam_of: jnp.ndarray   # (np, k_obs) int32: which camera each block couples
+    V: jnp.ndarray        # (np, bs, bs) point diagonal blocks
+
+
+@dataclasses.dataclass(frozen=True)
+class SparseWSchurNewtonSolver:
+    """Schur elimination of the point blocks for SparseWSchurJtJ, over
+    pytree states {"c": (nc,), "q": (np, bs)} (the TreeSchurNewtonSolver
+    state convention).
+
+    The reduced system S = U + lam I - sum_p W_p Vhat_p^{-1} W_p^T is
+    assembled as S = U + lam I - sum_p F_p F_p^T with
+    F[p, c*cb+i, j] = sum_k onehot(cam_of[p,k], c) * (Wv[p,k] Lv_p^{-T})
+    — one one-hot contraction and one batched matmul, no scatter. All
+    solve-phase camera reductions/broadcasts are one-hot einsums/gathers.
+    Escalating-lambda semantics identical to the other strategies.
+    """
+    nc: int
+    n_points: int
+    block_size: int
+    k_obs: int
+    cam_block: int = 6
+
+    @property
+    def ncam(self) -> int:
+        return self.nc // self.cam_block
+
+    def _onehot(self, cam_of, dtype):
+        # (np, k_obs, ncam) {0,1} selector; built from iota comparison
+        return (cam_of[..., None]
+                == jnp.arange(self.ncam, dtype=cam_of.dtype)).astype(dtype)
+
+    def quad_form(self, JtJ: SparseWSchurJtJ, v):
+        vc, vp = v["c"], v["q"]
+        dt = vc.dtype
+        uv = jnp.dot(vc, jnp.matmul(JtJ.U, vc, preferred_element_type=dt))
+        # vc^T W vp: gather each block's camera slice of vc
+        vcg = vc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
+        wv = jnp.einsum('pki,pkij,pj->', vcg, JtJ.Wv, vp,
+                        preferred_element_type=dt)
+        vv = jnp.einsum('pb,pbk,pk->', vp, JtJ.V, vp,
+                        preferred_element_type=dt)
+        return uv + 2.0 * wv + vv
+
+    def _try_factor(self, JtJ: SparseWSchurJtJ, lam):
+        from libdogleg_tpu.ops import smallchol
+
+        dt = JtJ.U.dtype
+        bs = self.block_size
+        Vhat = JtJ.V + lam * jnp.eye(bs, dtype=dt)
+        Lv, okb = smallchol.small_cholesky(Vhat)        # (np, bs, bs)
+        ok_v = jnp.all(okb)
+        # B[p,k] = Wv[p,k] Lv_p^{-T}: solve Lv Y = Wv^T per block, with Lv
+        # broadcast over the k_obs axis (the unrolled substitution helper
+        # broadcasts its batch dims)
+        B = jnp.swapaxes(
+            smallchol.small_fwd_solve_mat(
+                Lv[:, None], jnp.swapaxes(JtJ.Wv, -1, -2)), -1, -2)
+        E = self._onehot(JtJ.cam_of, dt)
+        # F[p, c, i, j] = sum_k E[p,k,c] B[p,k,i,j]
+        F = jnp.einsum('pkc,pkij->pcij', E, B, preferred_element_type=dt)
+        F = F.reshape(self.n_points, self.nc, bs)
+        S = (JtJ.U + lam * jnp.eye(self.nc, dtype=dt)
+             - jnp.einsum('pcj,pdj->cd', F, F, preferred_element_type=dt))
+        Ls = jnp.linalg.cholesky(S)
+        ok_s = jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.diag(Ls) > 0)
+        return (Lv, Ls), ok_v & ok_s
+
+    def gauss_newton(self, JtJ: SparseWSchurJtJ, Jt_x, lam, *,
+                     lambda_initial, lambda_max_tries) -> GNResult:
+        from libdogleg_tpu.ops import smallchol
+
+        rc, rp = Jt_x["c"], Jt_x["q"]
+        dt = rc.dtype
+        (Lv, Ls), lam, ok = chol.escalating_lambda(
+            lambda lm: self._try_factor(JtJ, lm), lam, dt,
+            lambda_initial=lambda_initial,
+            lambda_max_tries=lambda_max_tries)
+
+        def vsolve(b):                                   # (np, bs)
+            return smallchol.small_cho_solve_mat(Lv, b[..., None])[..., 0]
+
+        E = self._onehot(JtJ.cam_of, dt)
+        y = vsolve(rp)
+        # rc - sum_{p,k} onehot * (Wv[p,k] y_p)
+        wy = jnp.einsum('pkc,pkij,pj->ci', E, JtJ.Wv, y,
+                        preferred_element_type=dt).reshape(self.nc)
+        dc = chol.cholesky_solve(Ls, rc - wy)
+        dcg = dc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
+        rp2 = rp - jnp.einsum('pkij,pki->pj', JtJ.Wv, dcg,
+                              preferred_element_type=dt)
+        dp = vsolve(rp2)
+        step = {"c": -dc, "q": -dp}
+        n2 = jnp.dot(dc, dc) + jnp.sum(dp * dp)
+        return GNResult(step=step, norm2_step=n2, lam=lam, ok=ok)

@@ -189,3 +189,56 @@ def test_pinhole_ba_grid_products_match_scatter_path():
                  (a.JtJ.V, b.JtJ.V)]:
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-9, atol=1e-12)
+
+
+def test_sparse_visibility_ba_matches_dense_w():
+    """SparseWSchurNewtonSolver on the sparse-visibility BA model takes
+    the same trajectory as TreeSchurNewtonSolver on the densified-W
+    oracle, and converges to the pixel-noise floor."""
+    import numpy as np
+
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.ops.newton import TreeSchurNewtonSolver
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=0, ncam=8, npts=120,
+                                          k_obs=3)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    ns_s = ba.newton_solver()
+    ns_d = TreeSchurNewtonSolver(nc=ba.ncam * 6, n_points=ba.npts,
+                                 block_size=3)
+
+    pr_s = jax.jit(lambda pc, pq: ba.products({"c": pc, "q": pq}))(
+        p0["c"], p0["q"])
+    pr_d = jax.jit(lambda pc, pq: ba.dense_w_products({"c": pc, "q": pq}))(
+        p0["c"], p0["q"])
+    v = {"c": jnp.asarray(np.random.default_rng(0).normal(size=ba.ncam*6)),
+         "q": jnp.asarray(np.random.default_rng(1).normal(
+             size=(ba.npts, 3)))}
+    np.testing.assert_allclose(float(ns_s.quad_form(pr_s.JtJ, v)),
+                               float(ns_d.quad_form(pr_d.JtJ, v)),
+                               rtol=1e-10)
+    g_s = ns_s.gauss_newton(pr_s.JtJ, pr_s.Jt_x, jnp.asarray(0.0),
+                            lambda_initial=1e-10, lambda_max_tries=60)
+    g_d = ns_d.gauss_newton(pr_d.JtJ, pr_d.Jt_x, jnp.asarray(0.0),
+                            lambda_initial=1e-10, lambda_max_tries=60)
+    np.testing.assert_allclose(np.asarray(g_s.step["c"]),
+                               np.asarray(g_d.step["c"]),
+                               rtol=1e-6, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(g_s.step["q"]),
+                               np.asarray(g_d.step["q"]),
+                               rtol=1e-6, atol=1e-9)
+
+    r_s = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ns_s))(p0["c"], p0["q"])
+    r_d = jax.jit(lambda pc, pq: solve_products(
+        ba.dense_w_products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ns_d))(p0["c"], p0["q"])
+    assert int(r_s.step_count) == int(r_d.step_count)
+    np.testing.assert_allclose(np.asarray(r_s.p["q"]),
+                               np.asarray(r_d.p["q"]), rtol=1e-5,
+                               atol=1e-7)
+    # pixel-noise floor: 0.5^2 * 2 * nobs = 180
+    assert float(r_s.norm2_x) < 500
