@@ -83,8 +83,7 @@ def config3_batched(batch=10000):
         jax.random.split(jax.random.PRNGKey(1), batch))
     from libdogleg_tpu.parallel.batched import batched_optimize_compacted
     f = jax.jit(lambda p0s, m: batched_optimize_compacted(
-        products, p0s, PRM, problem_data=m,
-        phase1_attempts=11, compact_capacity=batch // 16).p)
+        products, p0s, PRM, problem_data=m).p)  # auto-tuned compaction
     dt, out = timeit(f, p0s, meas)
     err = np.abs(np.asarray(out) - sp.P_TRUE[None])
     emit("3-batched-10k", "batched_solves_per_s", batch / dt, "solves/s",

@@ -379,6 +379,10 @@ class SparseWSchurNewtonSolver:
     block_size: int
     k_obs: int
     cam_block: int = 6
+    # S-assembly single-pass threshold in F elements (~64 MB f32); above
+    # it the reduced system accumulates over point chunks (see
+    # _try_factor). Tests shrink it to force the chunked path.
+    s_chunk_limit: int = 1 << 24
 
     @property
     def ncam(self) -> int:
@@ -415,12 +419,40 @@ class SparseWSchurNewtonSolver:
         B = jnp.swapaxes(
             smallchol.small_fwd_solve_mat(
                 Lv[:, None], jnp.swapaxes(JtJ.Wv, -1, -2)), -1, -2)
-        E = self._onehot(JtJ.cam_of, dt)
-        # F[p, c, i, j] = sum_k E[p,k,c] B[p,k,i,j]
-        F = jnp.einsum('pkc,pkij->pcij', E, B, preferred_element_type=dt)
-        F = F.reshape(self.n_points, self.nc, bs)
-        S = (JtJ.U + lam * jnp.eye(self.nc, dtype=dt)
-             - jnp.einsum('pcj,pdj->cd', F, F, preferred_element_type=dt))
+        # S = U + lam I - sum_p F_p F_p^T with
+        # F[p, c*cb+i, j] = sum_k onehot(cam_of[p,k], c) B[p,k,i,j].
+        # F materialized whole would be (np, nc, bs) — the SAME size as the
+        # dense W this representation exists to avoid (460 MB at the
+        # config-7s scale) — so accumulate S over point chunks instead:
+        # each chunk's F is bounded, total FLOPs unchanged.
+        S0 = JtJ.U + lam * jnp.eye(self.nc, dtype=dt)
+        limit = self.s_chunk_limit
+        if self.n_points * self.nc * bs <= limit:
+            E = self._onehot(JtJ.cam_of, dt)
+            F = jnp.einsum('pkc,pkij->pcij', E, B,
+                           preferred_element_type=dt)
+            F = F.reshape(self.n_points, self.nc, bs)
+            S = S0 - jnp.einsum('pcj,pdj->cd', F, F,
+                                preferred_element_type=dt)
+        else:
+            chunk = max(1, limit // (self.nc * bs))
+            nchunks = -(-self.n_points // chunk)
+            npad = nchunks * chunk - self.n_points
+            Bp = jnp.pad(B, ((0, npad), (0, 0), (0, 0), (0, 0)))
+            # padded blocks are zero, so their one-hot target is harmless
+            cam_p = jnp.pad(JtJ.cam_of, ((0, npad), (0, 0)))
+
+            def body(S, i):
+                Bc = jax.lax.dynamic_slice_in_dim(Bp, i * chunk, chunk)
+                cc = jax.lax.dynamic_slice_in_dim(cam_p, i * chunk, chunk)
+                Ec = self._onehot(cc, dt)
+                Fc = jnp.einsum('pkc,pkij->pcij', Ec, Bc,
+                                preferred_element_type=dt)
+                Fc = Fc.reshape(chunk, self.nc, bs)
+                return S - jnp.einsum('pcj,pdj->cd', Fc, Fc,
+                                      preferred_element_type=dt), None
+
+            S, _ = jax.lax.scan(body, S0, jnp.arange(nchunks))
         Ls = jnp.linalg.cholesky(S)
         ok_s = jnp.all(jnp.isfinite(Ls)) & jnp.all(jnp.diag(Ls) > 0)
         return (Lv, Ls), ok_v & ok_s
