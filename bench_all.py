@@ -168,7 +168,8 @@ def config7_pinhole_ba(ncam=32, npts=20000):
          converged=bool(np.asarray(out) < 1.0 * nobs_res))
 
 
-def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4):
+def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4,
+                                  label="7s-sparse-vis-ba"):
     """Large sparse-visibility bundle adjustment: each point seen by k_obs
     of the 128 cameras. The dense coupling W of SchurJtJ would be
     nc x npts x 3 f32 = 460 MB here and is never built — SparseWSchurJtJ
@@ -182,7 +183,7 @@ def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4):
         ba.products, {"c": pc, "q": pq}, PRM,
         newton_solver=ba.newton_solver()).norm2_x)
     dt, out = timeit(f, p0["c"], p0["q"])
-    emit("7s-sparse-vis-ba", "solve_latency", dt * 1e3, "ms",
+    emit(label, "solve_latency", dt * 1e3, "ms",
          ncam=ncam, npts=npts, k_obs=k_obs, nobs=ba.nobs,
          nstate=ba.nstate,
          converged=bool(np.asarray(out) < 1.0 * 2 * ba.nobs))
@@ -240,5 +241,7 @@ if __name__ == "__main__":
     config6_sparse_grid()
     config7_pinhole_ba()
     config7s_sparse_visibility_ba()
+    config7s_sparse_visibility_ba(ncam=256, npts=200000, k_obs=4,
+                                  label="7xl-sparse-vis-ba")
     config8_batched_midsize(nstate=64, batch=512)
     config8_batched_midsize(nstate=128, batch=256)

@@ -342,17 +342,20 @@ class SparseVisibilityPinholeBA(NamedTuple):
         norm2_x = (jnp.sum(r * r) + jnp.dot(r_cam0, r_cam0)
                    + jnp.sum(r_pts * r_pts))
 
-        E = (self.cam_of[..., None]
-             == jnp.arange(self.ncam, dtype=self.cam_of.dtype)
-             ).astype(dt)                                # (npts, k_obs, ncam)
-        gc = jnp.einsum('pkc,pkij,pki->cj', E, Jc, r,
-                        preferred_element_type=dt).reshape(nc)
+        from libdogleg_tpu.ops.newton import onehot_cam_reduce
+        gc = onehot_cam_reduce(
+            self.cam_of,
+            jnp.einsum('pkij,pki->pkj', Jc, r, preferred_element_type=dt),
+            self.ncam).reshape(nc)
         gc = gc.at[:6].add(w0 * (p["c"][:6] - self.cam0_prior))
         gq = jnp.einsum('pkij,pki->pj', Jq, r,
                         preferred_element_type=dt) + wp * (q - self.pts_prior)
 
-        U_blk = jnp.einsum('pkc,pkij,pkim->cjm', E, Jc, Jc,
-                           preferred_element_type=dt)    # (ncam, 6, 6)
+        U_blk = onehot_cam_reduce(
+            self.cam_of,
+            jnp.einsum('pkij,pkim->pkjm', Jc, Jc,
+                       preferred_element_type=dt),
+            self.ncam)                                   # (ncam, 6, 6)
         U = jax.scipy.linalg.block_diag(
             *[U_blk[i] for i in range(self.ncam)])
         U = U.at[:6, :6].add(w0 * jnp.eye(6, dtype=dt))

@@ -393,6 +393,11 @@ class SparseWSchurNewtonSolver:
         return (cam_of[..., None]
                 == jnp.arange(self.ncam, dtype=cam_of.dtype)).astype(dtype)
 
+    def _cam_reduce(self, JtJ, vals):
+        return onehot_cam_reduce(JtJ.cam_of, vals, self.ncam,
+                                 chunk_limit=self.s_chunk_limit
+                                 ).reshape(self.nc)
+
     def quad_form(self, JtJ: SparseWSchurJtJ, v):
         vc, vp = v["c"], v["q"]
         dt = vc.dtype
@@ -471,11 +476,9 @@ class SparseWSchurNewtonSolver:
         def vsolve(b):                                   # (np, bs)
             return smallchol.small_cho_solve_mat(Lv, b[..., None])[..., 0]
 
-        E = self._onehot(JtJ.cam_of, dt)
         y = vsolve(rp)
-        # rc - sum_{p,k} onehot * (Wv[p,k] y_p)
-        wy = jnp.einsum('pkc,pkij,pj->ci', E, JtJ.Wv, y,
-                        preferred_element_type=dt).reshape(self.nc)
+        wy = self._cam_reduce(JtJ, jnp.einsum(
+            'pkij,pj->pki', JtJ.Wv, y, preferred_element_type=dt))
         dc = chol.cholesky_solve(Ls, rc - wy)
         dcg = dc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
         rp2 = rp - jnp.einsum('pkij,pki->pj', JtJ.Wv, dcg,
@@ -484,3 +487,44 @@ class SparseWSchurNewtonSolver:
         step = {"c": -dc, "q": -dp}
         n2 = jnp.dot(dc, dc) + jnp.sum(dp * dp)
         return GNResult(step=step, norm2_step=n2, lam=lam, ok=ok)
+
+
+def onehot_cam_reduce(cam_of, vals, ncam: int,
+                      chunk_limit: int = 1 << 24):
+    """Scatter-free segment reduction over the camera axis:
+    out[c] = sum over (p, k) with cam_of[p, k] == c of vals[p, k],
+    for vals (np, k_obs, ...trailing). Implemented as a one-hot MXU
+    einsum (TPU scatters serialize), processed in point chunks so the
+    (np, k_obs, ncam) selector never materializes whole (410 MB at
+    np=200000, ncam=128). Shared by SparseWSchurNewtonSolver and the
+    sparse-visibility BA products assembly."""
+    dt = vals.dtype
+    n_points, k_obs = cam_of.shape
+    trailing = vals.shape[2:]
+    v2 = vals.reshape(n_points, k_obs, -1)
+
+    def onehot(cc):
+        return (cc[..., None]
+                == jnp.arange(ncam, dtype=cc.dtype)).astype(dt)
+
+    if n_points * k_obs * ncam <= chunk_limit:
+        out = jnp.einsum('pkc,pki->ci', onehot(cam_of), v2,
+                         preferred_element_type=dt)
+        return out.reshape((ncam,) + trailing)
+
+    chunk = max(1, chunk_limit // (k_obs * ncam))
+    nchunks = -(-n_points // chunk)
+    npad = nchunks * chunk - n_points
+    v_p = jnp.pad(v2, ((0, npad), (0, 0), (0, 0)))
+    cam_p = jnp.pad(cam_of, ((0, npad), (0, 0)))
+
+    def body(acc, i):
+        vc = jax.lax.dynamic_slice_in_dim(v_p, i * chunk, chunk)
+        cc = jax.lax.dynamic_slice_in_dim(cam_p, i * chunk, chunk)
+        return acc + jnp.einsum('pkc,pki->ci', onehot(cc), vc,
+                                preferred_element_type=dt), None
+
+    acc, _ = jax.lax.scan(body,
+                          jnp.zeros((ncam, v2.shape[-1]), dt),
+                          jnp.arange(nchunks))
+    return acc.reshape((ncam,) + trailing)

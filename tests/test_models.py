@@ -236,7 +236,12 @@ def test_sparse_visibility_ba_matches_dense_w():
     r_d = jax.jit(lambda pc, pq: solve_products(
         ba.dense_w_products, {"c": pc, "q": pq}, DoglegParameters(),
         newton_solver=ns_d))(p0["c"], p0["q"])
-    assert int(r_s.step_count) == int(r_d.step_count)
+    # summation orders differ between the sparse and densified-W
+    # assemblies, so the last at-threshold termination step can flip;
+    # require matching converged states, not identical attempt counts
+    assert abs(int(r_s.step_count) - int(r_d.step_count)) <= 1
+    np.testing.assert_allclose(float(r_s.norm2_x), float(r_d.norm2_x),
+                               rtol=1e-9)
     np.testing.assert_allclose(np.asarray(r_s.p["q"]),
                                np.asarray(r_d.p["q"]), rtol=1e-5,
                                atol=1e-7)
