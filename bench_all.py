@@ -123,7 +123,8 @@ def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
          nmeas=nmeas, nstate=nstate)
 
 
-def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16):
+def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16,
+                        label="6-sparse-grid-mrf", with_dense=True):
     """Large sparse single problem: RCM-ordered supernodal amalgamation vs
     the dense-JtJ path on the same instance. The supernodal block-sparse
     Cholesky is where sparsity starts beating the MXU's love of dense —
@@ -140,15 +141,17 @@ def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16):
     f_sp = jax.jit(lambda p0: optimize(sp_prob, p0, PRM,
                                        newton_solver=ns).norm2_x)
     dt_sp, out = timeit(f_sp, jnp.zeros(m.nstate, DTYPE))
-    f_d = jax.jit(lambda p0: optimize(base, p0, PRM).norm2_x)
-    dt_d, _ = timeit(f_d, jnp.zeros(m.nstate, DTYPE))
+    extra = {}
+    if with_dense:
+        f_d = jax.jit(lambda p0: optimize(base, p0, PRM).norm2_x)
+        dt_d, _ = timeit(f_d, jnp.zeros(m.nstate, DTYPE))
+        extra = dict(dense_mode_ms=round(dt_d * 1e3, 2),
+                     sparse_speedup_vs_dense=round(dt_d / dt_sp, 2))
     inner = ns.symbolic.inner
-    emit("6-sparse-grid-mrf", "solve_latency", dt_sp * 1e3, "ms",
+    emit(label, "solve_latency", dt_sp * 1e3, "ms",
          nstate=m.nstate, n_nodes=m.n_nodes, amalgamate=amalgamate,
          super_levels=inner.sched.nlevels, super_block=inner.b,
-         dense_mode_ms=round(dt_d * 1e3, 2),
-         sparse_speedup_vs_dense=round(dt_d / dt_sp, 2),
-         converged=bool(np.isfinite(np.asarray(out))))
+         converged=bool(np.isfinite(np.asarray(out))), **extra)
 
 
 def config7_pinhole_ba(ncam=32, npts=20000):
@@ -239,6 +242,9 @@ if __name__ == "__main__":
     config4_ba_schur()
     config5_outlierness()
     config6_sparse_grid()
+    # 4x the grid: dense JtJ would be 4.3 GB — sparse-only scale point
+    config6_sparse_grid(width=64, height=64, label="6b-sparse-grid-64x64",
+                        with_dense=False)
     config7_pinhole_ba()
     config7s_sparse_visibility_ba()
     config7s_sparse_visibility_ba(ncam=256, npts=200000, k_obs=4,
