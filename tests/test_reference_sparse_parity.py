@@ -411,3 +411,144 @@ def test_sparse_gradient_checker_parity(libref):
                 else:
                     tol = 1e-6 * max(abs(rep), 1e-3)
                     assert abs(float(va) - float(vb)) < tol, (rr, orow)
+
+
+def test_ba_schur_trace_parity(libref):
+    """The Schur-elimination strategies take the SAME decisions as the
+    reference solving the identical bundle-adjustment problem through its
+    whole-JtJ sparse path (dogleg_optimize2 + minichol): different linear
+    algebra (point-block elimination + reduced camera system vs one
+    factorization of the full JtJ), same Gauss-Newton mathematics, so the
+    vnlog traces must match attempt by attempt."""
+    import jax
+    import jax.numpy as jnp
+
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.diagnostics import format_vnlog
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=5, ncam=3, npts=14, k_obs=2,
+                                          pixel_noise=0.3)
+    nc = ba.ncam * 6
+    nstate = ba.nstate
+    # measurement layout: 2 rows per (point, k) pair, then the 6 cam0-prior
+    # rows, then 3*npts point-prior rows (order is irrelevant to the
+    # products, which are sums over measurements)
+    nmeas_proj = ba.npts * ba.k_obs * 2
+    nmeas = nmeas_proj + 6 + 3 * ba.npts
+    njnnz = nmeas_proj * 9 + 6 + 3 * ba.npts
+    sw0 = np.sqrt(ba.w_prior_cam0)
+    swp = np.sqrt(ba.w_prior_pts)
+    cam_of = np.asarray(ba.cam_of)
+    obs = np.asarray(ba.obs)
+    cam0_prior = np.asarray(ba.cam0_prior)
+    pts_prior = np.asarray(ba.pts_prior)
+
+    # per-pair residual + Jacobians via jax (f64 CPU), called per callback
+    def pair_jac(cam, point, ob):
+        r = pinhole_ba.project(jnp.asarray(cam), jnp.asarray(point),
+                               ba.focal) - jnp.asarray(ob)
+        Jc = jax.jacfwd(lambda c: pinhole_ba.project(
+            c, jnp.asarray(point), ba.focal))(jnp.asarray(cam))
+        Jq = jax.jacfwd(lambda s: pinhole_ba.project(
+            jnp.asarray(cam), s, ba.focal))(jnp.asarray(point))
+        return np.asarray(r), np.asarray(Jc), np.asarray(Jq)
+
+    def fill(p):
+        cams = p[:nc].reshape(ba.ncam, 6)
+        q = p[nc:].reshape(ba.npts, 3)
+        x = np.zeros(nmeas)
+        csc_p = np.zeros(nmeas + 1, np.int32)
+        csc_i = np.zeros(njnnz, np.int32)
+        csc_x = np.zeros(njnnz)
+        col = 0
+        nz = 0
+        for pi in range(ba.npts):
+            for kk in range(ba.k_obs):
+                ci = int(cam_of[pi, kk])
+                r, Jc, Jq = pair_jac(cams[ci], q[pi], obs[pi, kk])
+                for row in range(2):
+                    x[col] = r[row]
+                    idx = np.concatenate([ci * 6 + np.arange(6),
+                                          nc + 3 * pi + np.arange(3)])
+                    val = np.concatenate([Jc[row], Jq[row]])
+                    csc_i[nz:nz + 9] = idx
+                    csc_x[nz:nz + 9] = val
+                    nz += 9
+                    col += 1
+                    csc_p[col] = nz
+        for i in range(6):
+            x[col] = sw0 * (p[i] - cam0_prior[i])
+            csc_i[nz] = i
+            csc_x[nz] = sw0
+            nz += 1
+            col += 1
+            csc_p[col] = nz
+        for pi in range(ba.npts):
+            for j in range(3):
+                x[col] = swp * (q[pi, j] - pts_prior[pi, j])
+                csc_i[nz] = nc + 3 * pi + j
+                csc_x[nz] = swp
+                nz += 1
+                col += 1
+                csc_p[col] = nz
+        assert nz == njnnz and col == nmeas
+        return x, csc_p, csc_i, csc_x
+
+    @SPARSE_CB
+    def cb(p_ptr, x_ptr, Jt_ptr, cookie):
+        p = np.ctypeslib.as_array(p_ptr, (nstate,)).copy()
+        x, csc_p, csc_i, csc_x = fill(p)
+        np.ctypeslib.as_array(x_ptr, (nmeas,))[:] = x
+        Jt = Jt_ptr.contents
+        np.ctypeslib.as_array(
+            ctypes.cast(Jt.p, ctypes.POINTER(ctypes.c_int32)),
+            (nmeas + 1,))[:] = csc_p
+        np.ctypeslib.as_array(
+            ctypes.cast(Jt.i, ctypes.POINTER(ctypes.c_int32)),
+            (njnnz,))[:] = csc_i
+        np.ctypeslib.as_array(
+            ctypes.cast(Jt.x, ctypes.POINTER(ctypes.c_double)),
+            (njnnz,))[:] = csc_x
+
+    lib = libref
+    lib.dogleg_optimize2.restype = ctypes.c_double
+    lib.dogleg_optimize2.argtypes = [
+        ctypes.POINTER(ctypes.c_double), ctypes.c_uint, ctypes.c_uint,
+        ctypes.c_uint, SPARSE_CB, ctypes.c_void_p,
+        ctypes.POINTER(DoglegParameters2), ctypes.c_void_p]
+    prm = DoglegParameters2()
+    lib.dogleg_getDefaultParameters(ctypes.byref(prm))
+    prm.dogleg_debug = DOGLEG_DEBUG_VNLOG
+
+    p0_tree = ba.p0(jax.random.PRNGKey(7), jitter=0.05)
+    p0 = np.concatenate([np.asarray(p0_tree["c"]),
+                         np.asarray(p0_tree["q"]).reshape(-1)])
+    p = np.ascontiguousarray(p0, np.float64).copy()
+    with tempfile.TemporaryFile() as tmp:
+        saved = os.dup(1)
+        os.dup2(tmp.fileno(), 1)
+        try:
+            norm2_ref = lib.dogleg_optimize2(
+                p.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                nstate, nmeas, njnnz, cb, None, ctypes.byref(prm), None)
+        finally:
+            os.dup2(saved, 1)
+            os.close(saved)
+        tmp.seek(0)
+        ref_rows = [l.split() for l in tmp.read().decode().splitlines()
+                    if l.strip() and not l.startswith("#")]
+
+    r = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ba.newton_solver(), record_history=True))(
+        p0_tree["c"], p0_tree["q"])
+    our_rows = [l.split()
+                for l in format_vnlog(r.history, r.n_attempts).splitlines()[1:]
+                if l.strip()]
+    assert_traces_match(ref_rows, our_rows, rel=1e-4)
+    assert norm2_ref >= 0
+    p_ours = np.concatenate([np.asarray(r.p["c"]),
+                             np.asarray(r.p["q"]).reshape(-1)])
+    np.testing.assert_allclose(p_ours, p, rtol=1e-5, atol=1e-7)
