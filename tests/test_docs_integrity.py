@@ -68,7 +68,7 @@ def test_api_md_symbols_exist():
     # 1) dotted names inside backticks (libdogleg_tpu.x.y, ops.x.y, ...)
     for span in re.findall(r"`([^`]+)`", text):
         for dotted in re.findall(r"\b[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)+", span):
-            if re.search(r"\.(c|h|py|md|sh|pod|npz|toml|json)$", dotted):
+            if re.search(r"\.(c|h|py|md|sh|pod|npz|toml|json|bin)$", dotted):
                 continue  # a file name, covered by the path tests
             if _resolve_dotted(dotted) == "missing":
                 missing.append(dotted)
