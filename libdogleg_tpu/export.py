@@ -32,11 +32,20 @@ from libdogleg_tpu.params import DoglegParameters
 from libdogleg_tpu.solver import History, SolveResult, solve_products
 
 # the solver's result pytrees must be registered for artifact
-# serialization (stable names — part of the artifact format)
+# serialization (stable names — part of the artifact format); structured
+# JtJ representations appear inside SolveResult.JtJ
 jax_export.register_namedtuple_serialization(
     SolveResult, serialized_name="libdogleg_tpu.SolveResult")
 jax_export.register_namedtuple_serialization(
     History, serialized_name="libdogleg_tpu.History")
+
+from libdogleg_tpu.ops.newton import (SchurJtJ,  # noqa: E402
+                                      SparseWSchurJtJ)
+
+jax_export.register_namedtuple_serialization(
+    SchurJtJ, serialized_name="libdogleg_tpu.SchurJtJ")
+jax_export.register_namedtuple_serialization(
+    SparseWSchurJtJ, serialized_name="libdogleg_tpu.SparseWSchurJtJ")
 
 
 def export_solver(products_fn,

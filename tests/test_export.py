@@ -65,3 +65,45 @@ def test_export_roundtrip_batched(tmp_path):
     assert r.p.shape == (batch, sp.NSTATE)
     err = np.abs(np.asarray(r.p) - np.asarray(sp.P_TRUE)[None])
     assert float(np.mean(np.all(err < 5e-2, axis=1))) > 0.9
+
+
+def test_export_sparse_problem(tmp_path):
+    """The block-sparse path exports too: BCSR structure (and, for
+    jtj='sparse', level schedules) bake into the artifact."""
+    meas = sp.simulate(jax.random.PRNGKey(0))
+    prob = sp.make_sparse_problem(meas)
+    prm = DoglegParameters(max_iterations=8)
+    exp = export_solver(prob.products, nstate=sp.NSTATE, parameters=prm,
+                        newton_solver=prob.default_newton_solver(),
+                        dtype=jnp.float64)
+    path = tmp_path / "sparse.bin"
+    save_exported(str(path), exp)
+    p0 = sp.initial_state(jax.random.PRNGKey(1))
+    r = load_exported(str(path)).call(p0)
+    r_live = jax.jit(lambda q: optimize(prob, q, prm))(p0)
+    np.testing.assert_array_equal(np.asarray(r.p), np.asarray(r_live.p))
+
+
+def test_export_pytree_state_ba():
+    """Pytree-state solves (Schur BA, structured JtJ in the result)
+    serialize through the registered NamedTuple names."""
+    from jax import export as jx
+
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=1, ncam=6, npts=80, k_obs=3)
+    q0 = ba.p0(jax.random.PRNGKey(3), jitter=0.02)
+
+    def solve(p):
+        return solve_products(ba.products, p, DoglegParameters(),
+                              newton_solver=ba.newton_solver())
+
+    exp = jx.export(jax.jit(solve))(
+        {"c": jax.ShapeDtypeStruct(q0["c"].shape, q0["c"].dtype),
+         "q": jax.ShapeDtypeStruct(q0["q"].shape, q0["q"].dtype)})
+    r = jx.deserialize(exp.serialize()).call(q0)
+    r_live = jax.jit(solve)(q0)
+    assert int(r.step_count) == int(r_live.step_count)
+    np.testing.assert_array_equal(np.asarray(r.p["q"]),
+                                  np.asarray(r_live.p["q"]))
