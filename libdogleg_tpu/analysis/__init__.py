@@ -3,6 +3,7 @@ from libdogleg_tpu.analysis.gradients import (check_gradients,
                                               check_gradients_products,
                                               format_gradient_table)
 from libdogleg_tpu.analysis.outlierness import (get_outlierness_factors,
+                                                get_outlierness_factors_ba,
                                                 get_outlierness_scale,
                                                 mark_outliers,
                                                 outlierness_trace_new_feature,
@@ -16,6 +17,7 @@ __all__ = [
     "check_gradients_products",
     "format_gradient_table",
     "get_outlierness_factors",
+    "get_outlierness_factors_ba",
     "get_outlierness_scale",
     "mark_outliers",
     "outlierness_trace_new_feature",

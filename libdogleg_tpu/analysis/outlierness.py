@@ -81,6 +81,21 @@ def _feature_blocks(x: jnp.ndarray, J: jnp.ndarray, L: jnp.ndarray,
     return A, xr
 
 
+def _cooks_fs2(a00, a01, a11, x0, x1):
+    """Cook's self+others closed 2x2 form (reference dogleg.c:2332-2365):
+    raw factor (unscaled) and the singular-leverage flag, elementwise over
+    any batch shape. Shared by the dense-J and BA-structured paths."""
+    det = (1.0 - a00) * (1.0 - a11) - a01 * a01
+    b00 = a11 - 1.0
+    b11 = a00 - 1.0
+    b01 = -a01
+    xBx = (x0 * x0 * b00 + 2.0 * x0 * x1 * b01 + x1 * x1 * b11) / det
+    v1 = x0 * b00 + x1 * b01
+    v2 = x0 * b01 + x1 * b11
+    xBBx = (v1 * v1 + v2 * v2) / (det * det)
+    return xBx + xBBx, jnp.abs(det) < 1e-8
+
+
 def get_outlierness_factors(x: jnp.ndarray,
                             J: jnp.ndarray,
                             L: jnp.ndarray,
@@ -120,19 +135,8 @@ def get_outlierness_factors(x: jnp.ndarray,
         singular = jnp.abs(denom) < 1e-8
         raw = xr[:, 0] * xr[:, 0] / denom
     elif feature_size == 2:
-        # Cook's self+others via the closed 2x2 form (dogleg.c:2332-2365).
-        a00, a01, a11 = A[:, 0, 0], A[:, 0, 1], A[:, 1, 1]
-        det = (1.0 - a00) * (1.0 - a11) - a01 * a01
-        b00 = a11 - 1.0
-        b11 = a00 - 1.0
-        b01 = -a01
-        x0, x1 = xr[:, 0], xr[:, 1]
-        xBx = (x0 * x0 * b00 + 2.0 * x0 * x1 * b01 + x1 * x1 * b11) / det
-        v1 = x0 * b00 + x1 * b01
-        v2 = x0 * b01 + x1 * b11
-        xBBx = (v1 * v1 + v2 * v2) / (det * det)
-        singular = jnp.abs(det) < 1e-8
-        raw = xBx + xBBx
+        raw, singular = _cooks_fs2(A[:, 0, 0], A[:, 0, 1], A[:, 1, 1],
+                                   xr[:, 0], xr[:, 1])
     else:
         # General featureSize (beyond the reference): same Cook's
         # self+others, batched dense inverse of (A - I), with the same
@@ -305,3 +309,119 @@ def outlierness_trace_new_features_windowed(Jq_win: jnp.ndarray,
     scale = get_outlierness_scale(norm2_x, nmeasurements, n,
                                   n_outlier_features, fs)
     return scale * (fs - traceB)
+
+
+def get_outlierness_factors_ba(x_obs: jnp.ndarray,
+                               Jc: jnp.ndarray,
+                               Jq: jnp.ndarray,
+                               JtJ,
+                               lam,
+                               norm2_x,
+                               nmeasurements: int,
+                               solver,
+                               *,
+                               n_outlier_features: int = 0,
+                               scale=None,
+                               chunk: int = 4096):
+    """Observation-level outlierness factors at bundle-adjustment scale.
+
+    The dense-J entry point above needs the full (nmeas, nstate) Jacobian
+    and a dense factor — infeasible for large BA. This form computes the
+    same featureSize-2 Cook's factors (one feature per observation, the
+    reference's camera-calibration usage, dogleg.c:2318-2371) from the
+    SPARSE-visibility structure: each observation touches one 6-dof camera
+    block and one 3-dof point block, so A_f = J_f inv(JtJ) J_f^T needs
+    only the 9x9 covariance sub-block at (camera c, point p), assembled
+    from the Schur factors by the standard block-inverse identities
+
+        Sigma_cc = S^{-1}
+        Sigma_cq[:, p] = -S^{-1} T_p,      T_p = W_p Vhat_p^{-1}
+        Sigma_qq[p]    = Vhat_p^{-1} + T_p^T S^{-1} T_p
+
+    processed in point chunks (nothing nstate-sized materializes beyond
+    the nc x nc S^{-1}).
+
+    Args:
+      x_obs: (np, k_obs, 2) reprojection residuals at the operating point.
+      Jc: (np, k_obs, 2, 6) camera Jacobians; Jq: (np, k_obs, 2, 3) point
+        Jacobians (e.g. SparseVisibilityPinholeBA.observation_jacobians).
+      JtJ: the SparseWSchurJtJ at the operating point.
+      lam: the solve's permanent lambda (SolveResult.lam).
+      norm2_x: total norm2 of ALL residuals (incl. priors).
+      nmeasurements: total measurement count (incl. prior rows) — the
+        reference's Nmeasurements for the scale.
+      solver: the SparseWSchurNewtonSolver (supplies the factorization).
+
+    Returns (factors (np, k_obs), scale) — factors > 1 are outlier
+    candidates, DBL_MAX marks singular leverage (see
+    get_outlierness_factors).
+    """
+    from libdogleg_tpu.ops import smallchol
+    from libdogleg_tpu.ops.cholesky import cholesky_solve
+
+    dt = x_obs.dtype
+    n_points, k_obs = JtJ.cam_of.shape
+    nc = solver.nc
+    cb = solver.cam_block
+    big = jnp.finfo(dt).max
+
+    (Lv, Ls), ok = solver._try_factor(JtJ, jnp.asarray(lam, dt))
+    Sinv = cholesky_solve(Ls, jnp.eye(nc, dtype=dt))        # (nc, nc)
+    eye3 = jnp.eye(JtJ.V.shape[-1], dtype=dt)
+
+    nmeas = nmeasurements
+    nstate = nc + n_points * JtJ.V.shape[-1]
+    if scale is None:
+        scale = get_outlierness_scale(norm2_x, nmeas, nstate,
+                                      n_outlier_features, 2)
+    k = scale / 8.0
+
+    nchunks = -(-n_points // chunk)
+    npad = nchunks * chunk - n_points
+    pad = lambda a: jnp.pad(a, ((0, npad),) + ((0, 0),) * (a.ndim - 1))
+    Wv_p, cam_p = pad(JtJ.Wv), pad(JtJ.cam_of)
+    # padded point factors must stay invertible for the chunked solves
+    Lv_p = jnp.where(
+        (jnp.arange(nchunks * chunk) < n_points)[:, None, None],
+        pad(Lv), eye3)
+    x_p, Jc_p, Jq_p = pad(x_obs), pad(Jc), pad(Jq)
+
+    def body(_, i):
+        sl = lambda a: jax.lax.dynamic_slice_in_dim(a, i * chunk, chunk)
+        Lvc, Wvc, camc = sl(Lv_p), sl(Wv_p), sl(cam_p)
+        xc, Jcc, Jqc = sl(x_p), sl(Jc_p), sl(Jq_p)
+        Vinv = smallchol.small_cho_solve_mat(Lvc, eye3)      # (ch, 3, 3)
+        Tb = jnp.einsum('pkij,pjm->pkim', Wvc, Vinv,
+                        preferred_element_type=dt)           # (ch,k,6,3)
+        E = (camc[..., None]
+             == jnp.arange(solver.ncam, dtype=camc.dtype)).astype(dt)
+        T = jnp.einsum('pkc,pkij->pcij', E, Tb,
+                       preferred_element_type=dt)
+        T = T.reshape(chunk, nc, 3)                          # (ch, nc, 3)
+        Z = jnp.einsum('cd,pdj->pcj', Sinv, T,
+                       preferred_element_type=dt)            # (ch, nc, 3)
+        Sqq = Vinv + jnp.einsum('pci,pcj->pij', T, Z,
+                                preferred_element_type=dt)   # (ch, 3, 3)
+        # per-(p, k) camera-block gathers
+        Zb = Z.reshape(chunk, solver.ncam, cb, 3)
+        rows = jnp.arange(chunk)[:, None]
+        Scq = -Zb[rows, camc]                                # (ch,k,6,3)
+        Sb = Sinv.reshape(solver.ncam, cb, solver.ncam, cb)
+        Scc = Sb[camc, :, camc, :]                           # (ch,k,6,6)
+        # A_f = Jc Scc Jc^T + Jc Scq Jq^T + (..)^T + Jq Sqq Jq^T
+        A = (jnp.einsum('pkai,pkij,pkbj->pkab', Jcc, Scc, Jcc,
+                        preferred_element_type=dt)
+             + jnp.einsum('pkai,pkij,pkbj->pkab', Jcc, Scq, Jqc,
+                          preferred_element_type=dt)
+             + jnp.einsum('pkaj,pkij,pkbi->pkab', Jqc, Scq, Jcc,
+                          preferred_element_type=dt)
+             + jnp.einsum('pkai,pij,pkbj->pkab', Jqc, Sqq, Jqc,
+                          preferred_element_type=dt))
+        raw, singular = _cooks_fs2(A[..., 0, 0], A[..., 0, 1],
+                                   A[..., 1, 1],
+                                   xc[..., 0], xc[..., 1])
+        return None, jnp.where(singular, big, raw * k)
+
+    _, chunks_out = jax.lax.scan(body, None, jnp.arange(nchunks))
+    factors = chunks_out.reshape(nchunks * chunk, k_obs)[:n_points]
+    return factors, scale

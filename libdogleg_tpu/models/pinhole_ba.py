@@ -386,6 +386,21 @@ class SparseVisibilityPinholeBA(NamedTuple):
                         JtJ=SchurJtJ(U=J.U, W=Wc.reshape(nc, self.npts, 3),
                                      V=J.V))
 
+    def observation_jacobians(self, p):
+        """(r, Jc, Jq) per observation — the inputs of the BA-scale
+        outlierness pass (analysis.get_outlierness_factors_ba)."""
+        cams = p["c"].reshape(self.ncam, 6)
+        cam_g = cams[self.cam_of]
+
+        def jac_pair(cam, point, ob):
+            r = project(cam, point, self.focal) - ob
+            Jc = jax.jacfwd(lambda c: project(c, point, self.focal))(cam)
+            Jq = jax.jacfwd(lambda s: project(cam, s, self.focal))(point)
+            return r, Jc, Jq
+
+        return jax.vmap(jax.vmap(jac_pair, in_axes=(0, None, 0)))(
+            cam_g, p["q"], self.obs)
+
     def newton_solver(self) -> SparseWSchurNewtonSolver:
         return SparseWSchurNewtonSolver(nc=self.ncam * 6,
                                         n_points=self.npts,

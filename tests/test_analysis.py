@@ -333,3 +333,68 @@ def test_trace_new_features_windowed_sparse_factor():
         solve_fn=lambda r: sc.solve(sym, Lb, r))
     np.testing.assert_allclose(np.asarray(t_sp), np.asarray(t_dense),
                                rtol=1e-9)
+
+
+def test_ba_outlierness_matches_dense_oracle():
+    """get_outlierness_factors_ba computes the reference's featureSize-2
+    Cook's factors from the sparse-W Schur factors (9x9 covariance blocks
+    by block-inverse identities, point-chunked) — identical to the dense-J
+    entry point on the fully densified system."""
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.analysis import (get_outlierness_factors,
+                                        get_outlierness_factors_ba)
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=3, ncam=6, npts=60, k_obs=3)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    r = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ba.newton_solver()))(p0["c"], p0["q"])
+    p = {"c": r.p["c"], "q": r.p["q"]}
+    lam = float(r.lam)
+
+    robs, Jc, Jq = ba.observation_jacobians(p)
+    nc = ba.ncam * 6
+    nmeas_total = 2 * ba.nobs + 6 + 3 * ba.npts
+    fac_ba, scale_ba = get_outlierness_factors_ba(
+        robs, Jc, Jq, r.JtJ, lam, r.norm2_x, nmeas_total,
+        ba.newton_solver(), chunk=16)   # chunk < npts: chunked path
+
+    # dense oracle: proj rows first (feature pairs), then prior rows
+    nstate = ba.nstate
+    J = np.zeros((nmeas_total, nstate))
+    x = np.zeros(nmeas_total)
+    row = 0
+    cam_of = np.asarray(ba.cam_of)
+    for pi in range(ba.npts):
+        for kk in range(ba.k_obs):
+            ci = int(cam_of[pi, kk])
+            for a in range(2):
+                x[row] = float(robs[pi, kk, a])
+                J[row, ci * 6:(ci + 1) * 6] = np.asarray(Jc[pi, kk, a])
+                J[row, nc + 3 * pi:nc + 3 * pi + 3] = \
+                    np.asarray(Jq[pi, kk, a])
+                row += 1
+    sw0 = np.sqrt(ba.w_prior_cam0)
+    swp = np.sqrt(ba.w_prior_pts)
+    pc = np.asarray(p["c"])
+    q = np.asarray(p["q"])
+    for i in range(6):
+        x[row] = sw0 * (pc[i] - float(ba.cam0_prior[i]))
+        J[row, i] = sw0
+        row += 1
+    for pi in range(ba.npts):
+        for j in range(3):
+            x[row] = swp * (q[pi, j] - float(ba.pts_prior[pi, j]))
+            J[row, nc + 3 * pi + j] = swp
+            row += 1
+    assert row == nmeas_total
+
+    fac = factorize_jtj(jnp.asarray(J.T @ J), jnp.asarray(lam))
+    fd, scale_d = get_outlierness_factors(jnp.asarray(x), jnp.asarray(J),
+                                          fac.L, feature_size=2)
+    np.testing.assert_allclose(float(scale_ba), float(scale_d), rtol=1e-10)
+    fd_obs = np.asarray(fd)[:ba.nobs].reshape(ba.npts, ba.k_obs)
+    np.testing.assert_allclose(np.asarray(fac_ba), fd_obs,
+                               rtol=1e-7, atol=1e-10)
