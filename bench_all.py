@@ -192,6 +192,35 @@ def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4,
          converged=bool(np.asarray(out) < 1.0 * 2 * ba.nobs))
 
 
+def config7o_ba_outlierness(ncam=128, npts=50000, k_obs=4):
+    """Observation-level outlierness at BA scale: the featureSize-2 Cook's
+    factors for every observation from the sparse-W Schur factors
+    (analysis.get_outlierness_factors_ba) — no dense J or factor ever
+    exists."""
+    from libdogleg_tpu.analysis import get_outlierness_factors_ba
+    ba = pinhole_ba.make_synthetic_sparse(seed=0, ncam=ncam, npts=npts,
+                                          k_obs=k_obs, dtype=DTYPE)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    r = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, PRM,
+        newton_solver=ba.newton_solver()))(p0["c"], p0["q"])
+    fetch(r.norm2_x)
+    nmeas = 2 * ba.nobs + 6 + 3 * ba.npts
+
+    def outl(pc, pq, lam, n2):
+        robs, Jc, Jq = ba.observation_jacobians({"c": pc, "q": pq})
+        JtJ = ba.products({"c": pc, "q": pq}).JtJ
+        f, _ = get_outlierness_factors_ba(robs, Jc, Jq, JtJ, lam, n2,
+                                          nmeas, ba.newton_solver())
+        return f
+
+    f = jax.jit(outl)
+    dt, out = timeit(f, r.p["c"], r.p["q"], r.lam, r.norm2_x)
+    emit("7o-ba-outlierness", "pass_latency", dt * 1e3, "ms",
+         nobs=ba.nobs, nstate=ba.nstate, obs_per_s=round(ba.nobs / dt),
+         finite=bool(np.isfinite(np.asarray(out)).all()))
+
+
 def config8_batched_midsize(nstate=64, batch=512, meas_factor=4):
     """Mid-size batched throughput: dense Nstate=64/128 problems, the
     regime ABOVE smallchol.SMALL_N_MAX=16 where the batch rides the
@@ -249,5 +278,6 @@ if __name__ == "__main__":
     config7s_sparse_visibility_ba()
     config7s_sparse_visibility_ba(ncam=256, npts=200000, k_obs=4,
                                   label="7xl-sparse-vis-ba")
+    config7o_ba_outlierness()
     config8_batched_midsize(nstate=64, batch=512)
     config8_batched_midsize(nstate=128, batch=256)
