@@ -294,10 +294,17 @@ from libdogleg_tpu.ops.newton import (SparseWSchurJtJ,  # noqa: E402
 
 class SparseVisibilityPinholeBA(NamedTuple):
     """Pinhole BA with point-major regular sparse visibility: point p is
-    observed by cameras cam_of[p, :] (exactly k_obs each). All products
+    observed by cameras cam_of[p, :] (up to k_obs each). All products
     are scatter-free: per-point reductions are dense einsums over the
     (npts, k_obs) grid; camera-axis reductions are one-hot MXU einsums;
-    camera-axis broadcasts are gathers (see SparseWSchurNewtonSolver)."""
+    camera-axis broadcasts are gathers (see SparseWSchurNewtonSolver).
+
+    VARIABLE visibility (different observation counts per point) is
+    expressed by padding to k_obs slots and zeroing the extras via
+    obs_mask: masked slots contribute exactly nothing to any product
+    (their residual and Jacobian rows are zeroed before every reduction),
+    so the solve equals the unpadded problem's. Pass the true measurement
+    count to analysis scale computations yourself in that case."""
     ncam: int
     npts: int
     k_obs: int
@@ -309,6 +316,7 @@ class SparseVisibilityPinholeBA(NamedTuple):
     cam0_prior: jnp.ndarray  # (6,)
     pts_prior: jnp.ndarray   # (npts, 3)
     p_true: dict
+    obs_mask: jnp.ndarray = None  # (npts, k_obs) {0,1}; None = all live
 
     @property
     def nobs(self) -> int:
@@ -333,6 +341,11 @@ class SparseVisibilityPinholeBA(NamedTuple):
         r, Jc, Jq = jax.vmap(jax.vmap(jac_pair, in_axes=(0, None, 0)))(
             cam_g, q, self.obs)
         # r (npts, k_obs, 2); Jc (..., 2, 6); Jq (..., 2, 3)
+        if self.obs_mask is not None:
+            m = self.obs_mask[..., None].astype(dt)
+            r = r * m
+            Jc = Jc * m[..., None]
+            Jq = Jq * m[..., None]
 
         nc = self.ncam * 6
         w0 = jnp.asarray(self.w_prior_cam0, dt)
@@ -388,7 +401,8 @@ class SparseVisibilityPinholeBA(NamedTuple):
 
     def observation_jacobians(self, p):
         """(r, Jc, Jq) per observation — the inputs of the BA-scale
-        outlierness pass (analysis.get_outlierness_factors_ba)."""
+        outlierness pass (analysis.get_outlierness_factors_ba). Masked
+        (padded) slots come back zeroed."""
         cams = p["c"].reshape(self.ncam, 6)
         cam_g = cams[self.cam_of]
 
@@ -398,8 +412,12 @@ class SparseVisibilityPinholeBA(NamedTuple):
             Jq = jax.jacfwd(lambda s: project(cam, s, self.focal))(point)
             return r, Jc, Jq
 
-        return jax.vmap(jax.vmap(jac_pair, in_axes=(0, None, 0)))(
+        r, Jc, Jq = jax.vmap(jax.vmap(jac_pair, in_axes=(0, None, 0)))(
             cam_g, p["q"], self.obs)
+        if self.obs_mask is not None:
+            m = self.obs_mask[..., None].astype(r.dtype)
+            r, Jc, Jq = r * m, Jc * m[..., None], Jq * m[..., None]
+        return r, Jc, Jq
 
     def newton_solver(self) -> SparseWSchurNewtonSolver:
         return SparseWSchurNewtonSolver(nc=self.ncam * 6,

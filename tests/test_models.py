@@ -280,3 +280,68 @@ def test_sparse_visibility_ba_chunked_s_assembly():
     np.testing.assert_allclose(np.asarray(r1.p["q"]),
                                np.asarray(r2.p["q"]), rtol=1e-6,
                                atol=1e-8)
+
+
+def test_sparse_visibility_ba_obs_mask_padding():
+    """Variable per-point visibility via obs_mask: an instance padded to
+    k_obs+1 slots with the extra slot masked produces the same products,
+    the same quad_form, and the same Gauss-Newton step as the unpadded
+    instance — masked slots contribute exactly nothing (the padded
+    nonlinear solve still converges; trajectories are not compared
+    step-for-step because ~1e-10 rounding differences compound)."""
+    import numpy as np
+
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=7, ncam=6, npts=50, k_obs=2)
+    pad_cam = jnp.concatenate(
+        [ba.cam_of, jnp.zeros((ba.npts, 1), ba.cam_of.dtype)], axis=1)
+    pad_obs = jnp.concatenate(
+        [ba.obs, jnp.zeros((ba.npts, 1, 2), ba.obs.dtype)], axis=1)
+    mask = jnp.concatenate([jnp.ones((ba.npts, 2)),
+                            jnp.zeros((ba.npts, 1))], axis=1)
+    ba_pad = ba._replace(k_obs=3, cam_of=pad_cam, obs=pad_obs,
+                         obs_mask=mask)
+
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    pr_a = ba.products(p0)
+    pr_b = ba_pad.products(p0)
+    np.testing.assert_allclose(float(pr_a.norm2_x), float(pr_b.norm2_x),
+                               rtol=1e-12)
+    for key in ("c", "q"):
+        np.testing.assert_allclose(np.asarray(pr_a.Jt_x[key]),
+                                   np.asarray(pr_b.Jt_x[key]),
+                                   rtol=1e-9, atol=1e-10)
+    np.testing.assert_allclose(np.asarray(pr_a.JtJ.U),
+                               np.asarray(pr_b.JtJ.U),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(pr_a.JtJ.V),
+                               np.asarray(pr_b.JtJ.V),
+                               rtol=1e-12, atol=1e-12)
+    assert float(jnp.abs(pr_b.JtJ.Wv[:, 2]).max()) == 0.0
+
+    ns_a, ns_b = ba.newton_solver(), ba_pad.newton_solver()
+    rng = np.random.default_rng(0)
+    v = {"c": jnp.asarray(rng.normal(size=ba.ncam * 6)),
+         "q": jnp.asarray(rng.normal(size=(ba.npts, 3)))}
+    np.testing.assert_allclose(float(ns_a.quad_form(pr_a.JtJ, v)),
+                               float(ns_b.quad_form(pr_b.JtJ, v)),
+                               rtol=1e-10)
+    g_a = ns_a.gauss_newton(pr_a.JtJ, pr_a.Jt_x, jnp.asarray(0.0),
+                            lambda_initial=1e-10, lambda_max_tries=60)
+    g_b = ns_b.gauss_newton(pr_b.JtJ, pr_b.Jt_x, jnp.asarray(0.0),
+                            lambda_initial=1e-10, lambda_max_tries=60)
+    np.testing.assert_allclose(np.asarray(g_a.step["c"]),
+                               np.asarray(g_b.step["c"]),
+                               rtol=1e-5, atol=1e-8)
+    np.testing.assert_allclose(np.asarray(g_a.step["q"]),
+                               np.asarray(g_b.step["q"]),
+                               rtol=1e-5, atol=1e-8)
+
+    r_b = jax.jit(lambda pc, pq: solve_products(
+        ba_pad.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ns_b))(p0["c"], p0["q"])
+    # padded instance converges to the pixel-noise floor (true nobs!)
+    assert float(r_b.norm2_x) < 0.5 * 2 * (ba.npts * 2)
