@@ -424,4 +424,8 @@ def get_outlierness_factors_ba(x_obs: jnp.ndarray,
 
     _, chunks_out = jax.lax.scan(body, None, jnp.arange(nchunks))
     factors = chunks_out.reshape(nchunks * chunk, k_obs)[:n_points]
+    # the reference returns false when the factorization fails
+    # (dogleg_getOutliernessFactors); the in-jit analog is NaN factors —
+    # unmistakably invalid, and mark_outliers treats them as non-candidates
+    factors = jnp.where(ok, factors, jnp.nan)
     return factors, scale
