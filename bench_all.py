@@ -200,22 +200,31 @@ def config7o_ba_outlierness(ncam=128, npts=50000, k_obs=4):
     from libdogleg_tpu.analysis import get_outlierness_factors_ba
     ba = pinhole_ba.make_synthetic_sparse(seed=0, ncam=ncam, npts=npts,
                                           k_obs=k_obs, dtype=DTYPE)
+    solver = ba.newton_solver()
     p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
     r = jax.jit(lambda pc, pq: solve_products(
         ba.products, {"c": pc, "q": pq}, PRM,
-        newton_solver=ba.newton_solver()))(p0["c"], p0["q"])
+        newton_solver=solver))(p0["c"], p0["q"])
     fetch(r.norm2_x)
     nmeas = 2 * ba.nobs + 6 + 3 * ba.npts
+    # the solve's factorization, recomputed once via the public handle and
+    # REUSED by the pass — the reference's cached-factor semantics
+    # (dogleg.c:2636-2652); the pass itself no longer refactorizes
+    fac = jax.jit(lambda pc, pq, lam: solver.factor(
+        ba.products({"c": pc, "q": pq}).JtJ, lam))(
+            r.p["c"], r.p["q"], r.lam)
+    fetch(fac)
 
-    def outl(pc, pq, lam, n2):
+    def outl(pc, pq, lam, n2, fac):
         robs, Jc, Jq = ba.observation_jacobians({"c": pc, "q": pq})
         JtJ = ba.products({"c": pc, "q": pq}).JtJ
         f, _ = get_outlierness_factors_ba(robs, Jc, Jq, JtJ, lam, n2,
-                                          nmeas, ba.newton_solver())
+                                          nmeas, solver,
+                                          factorization=fac)
         return f
 
     f = jax.jit(outl)
-    dt, out = timeit(f, r.p["c"], r.p["q"], r.lam, r.norm2_x)
+    dt, out = timeit(f, r.p["c"], r.p["q"], r.lam, r.norm2_x, fac)
     emit("7o-ba-outlierness", "pass_latency", dt * 1e3, "ms",
          nobs=ba.nobs, nstate=ba.nstate, obs_per_s=round(ba.nobs / dt),
          finite=bool(np.isfinite(np.asarray(out)).all()))

@@ -159,9 +159,10 @@ def run_ours_batched(platform=None):
                         JtJ=jnp.matmul(J.T, J, preferred_element_type=dtype))
 
     def solve_one_batch(p0s, meas_batch):
+        # auto-tuned compaction defaults: exactly the program bench.py
+        # times (the head-to-head row must match the advertised headline)
         r = batched_optimize_compacted(
-            products, p0s, prm, problem_data=meas_batch,
-            phase1_attempts=11, compact_capacity=BATCH // 16)
+            products, p0s, prm, problem_data=meas_batch)
         return r.p, r.n_attempts
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)

@@ -275,6 +275,13 @@ def outlierness_trace_new_features_windowed(Jq_win: jnp.ndarray,
     Returns (nq,) traces: scale * (fs - trace(inv(A_q + I))) per query,
     identical to the dense form on the zero-padded Jq (tested). Per-query
     work beyond the shared batched solve is O(w * fs), not O(nstate).
+
+    Out-of-range windows (istate_active < 0 or istate_active + w >
+    nstate): window columns falling outside [0, nstate) are treated as
+    exactly zero — identical to the dense form on a Jq whose
+    out-of-range columns are dropped (the scatter drops them and the
+    gather masks them; tested). Queries entirely out of range therefore
+    return scale * (fs - trace(inv(I))) = 0.
     """
     nq, fs, w = Jq_win.shape
     n = L.shape[-1] if L is not None else nstate
@@ -287,9 +294,15 @@ def outlierness_trace_new_features_windowed(Jq_win: jnp.ndarray,
     # against the cached factorization (the reference re-solves per query,
     # dogleg.c:2864-2868)
     def scatter_one(jq, i0):
-        # (fs, w), scalar -> (nstate, fs)
+        # (fs, w), scalar -> (nstate, fs). mode="drop" discards idx >= n,
+        # but JAX wraps NEGATIVE indices numpy-style before the drop, so
+        # invalid rows are zeroed and redirected to the (dropped) index n.
+        idx = i0 + offs
+        valid = (idx >= 0) & (idx < n)
+        idx = jnp.where(valid, idx, n)
+        rows = jq.T * valid[:, None].astype(dtype)
         rhs = jnp.zeros((n, fs), dtype)
-        return rhs.at[i0 + offs, :].set(jq.T, mode="drop")
+        return rhs.at[idx, :].set(rows, mode="drop")
 
     rhs = jax.vmap(scatter_one)(Jq_win, istate_active)   # (nq, nstate, fs)
     rhs_flat = jnp.moveaxis(rhs, 0, 1).reshape(n, nq * fs)
@@ -297,9 +310,14 @@ def outlierness_trace_new_features_windowed(Jq_win: jnp.ndarray,
         cholesky_solve(L, rhs_flat)                      # (nstate, nq*fs)
     Wq = jnp.moveaxis(W.reshape(n, nq, fs), 1, 0)        # (nq, nstate, fs)
 
-    # A_q = Jq_win @ W[window rows]: gather only each query's w rows
+    # A_q = Jq_win @ W[window rows]: gather only each query's w rows.
+    # Rows outside [0, nstate) are masked to zero so they match the
+    # scatter's mode="drop" exactly (the raw gather clamps indices, which
+    # would silently duplicate edge rows for out-of-range windows).
     def gather_window(wq, i0):
-        return wq[i0 + offs, :]                          # (w, fs)
+        idx = i0 + offs
+        valid = ((idx >= 0) & (idx < n))[:, None].astype(dtype)
+        return wq[idx, :] * valid                        # (w, fs)
 
     Wwin = jax.vmap(gather_window)(Wq, istate_active)    # (nq, w, fs)
     A = jnp.einsum('qfw,qwg->qfg', Jq_win, Wwin,
@@ -322,7 +340,8 @@ def get_outlierness_factors_ba(x_obs: jnp.ndarray,
                                *,
                                n_outlier_features: int = 0,
                                scale=None,
-                               chunk: int = 4096):
+                               chunk: int = 4096,
+                               factorization=None):
     """Observation-level outlierness factors at bundle-adjustment scale.
 
     The dense-J entry point above needs the full (nmeas, nstate) Jacobian
@@ -351,6 +370,11 @@ def get_outlierness_factors_ba(x_obs: jnp.ndarray,
       nmeasurements: total measurement count (incl. prior rows) — the
         reference's Nmeasurements for the scale.
       solver: the SparseWSchurNewtonSolver (supplies the factorization).
+      factorization: optional precomputed ((Lv, Ls), ok) from
+        solver.factor(JtJ, lam) — pass it to reuse the solve's
+        factorization across outlierness passes and confidence queries
+        instead of re-factorizing here (the reference reuses its cached
+        factorization when still valid, dogleg.c:2636-2652).
 
     Returns (factors (np, k_obs), scale) — factors > 1 are outlier
     candidates, DBL_MAX marks singular leverage (see
@@ -365,7 +389,8 @@ def get_outlierness_factors_ba(x_obs: jnp.ndarray,
     cb = solver.cam_block
     big = jnp.finfo(dt).max
 
-    (Lv, Ls), ok = solver._try_factor(JtJ, jnp.asarray(lam, dt))
+    (Lv, Ls), ok = (factorization if factorization is not None
+                    else solver.factor(JtJ, jnp.asarray(lam, dt)))
     Sinv = cholesky_solve(Ls, jnp.eye(nc, dtype=dt))        # (nc, nc)
     eye3 = jnp.eye(JtJ.V.shape[-1], dtype=dt)
 

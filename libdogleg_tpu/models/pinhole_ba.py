@@ -84,7 +84,13 @@ class PinholeBA(NamedTuple):
     def _dense_grid(self) -> bool:
         """True when the observations form the canonical cam-major full
         visibility grid (every camera sees every point, make_synthetic's
-        layout) — enables the scatter-free products path."""
+        layout) — enables the scatter-free products path. Traced index
+        fields (an instance vmapped over / passed as a jitted argument)
+        cannot be inspected at trace time: fall back to the generic
+        scatter path, which is fully traceable."""
+        if isinstance(self.cam_idx, jax.core.Tracer) or isinstance(
+                self.pt_idx, jax.core.Tracer):
+            return False
         ci = np.asarray(self.cam_idx)
         if ci.shape[0] != self.ncam * self.npts:
             return False

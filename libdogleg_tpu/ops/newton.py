@@ -151,7 +151,18 @@ class SchurNewtonSolver:
                         preferred_element_type=vc.dtype)
         return uv + 2.0 * jnp.dot(vc, wv) + vv
 
-    def _try_factor(self, JtJ: SchurJtJ, lam):
+    def factor(self, JtJ: SchurJtJ, lam):
+        """Factorize JtJ + lam*I once at a FIXED lambda (no escalation).
+
+        Returns ((Lv, Ls), ok): Lv (np, bs, bs) lower Cholesky factors of
+        the damped point blocks, Ls (nc, nc) lower Cholesky factor of the
+        Schur complement S, ok scalar bool. This is the public
+        cached-factorization handle: analysis passes (outlierness,
+        query-point confidence) recompute the solve's factorization once
+        via this method and share it across queries — the reference's
+        reuse-or-recompute semantics (dogleg.c:2636-2652) without keeping
+        mutable factor state inside SolveResult. The tuple layout is a
+        stable contract (used by analysis.get_outlierness_factors_ba)."""
         from libdogleg_tpu.ops import smallchol
 
         bs = self.block_size
@@ -188,7 +199,7 @@ class SchurNewtonSolver:
         """Factor (with the escalating-lambda loop) and solve for the
         camera/point step pair (dc, dp)."""
         (Lv, Ls), lam, ok = chol.escalating_lambda(
-            lambda lm: self._try_factor(JtJ, lm), lam, rc.dtype,
+            lambda lm: self.factor(JtJ, lm), lam, rc.dtype,
             lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
 
@@ -381,7 +392,7 @@ class SparseWSchurNewtonSolver:
     cam_block: int = 6
     # S-assembly single-pass threshold in F elements (~64 MB f32); above
     # it the reduced system accumulates over point chunks (see
-    # _try_factor). Tests shrink it to force the chunked path.
+    # factor()). Tests shrink it to force the chunked path.
     s_chunk_limit: int = 1 << 24
 
     @property
@@ -410,7 +421,12 @@ class SparseWSchurNewtonSolver:
                         preferred_element_type=dt)
         return uv + 2.0 * wv + vv
 
-    def _try_factor(self, JtJ: SparseWSchurJtJ, lam):
+    def factor(self, JtJ: SparseWSchurJtJ, lam):
+        """Factorize JtJ + lam*I once at a FIXED lambda (no escalation).
+
+        Returns ((Lv, Ls), ok) — same public contract as
+        SchurNewtonSolver.factor (point-block Cholesky factors + reduced
+        camera-system factor); see that docstring for the reuse semantics."""
         from libdogleg_tpu.ops import smallchol
 
         dt = JtJ.U.dtype
@@ -469,7 +485,7 @@ class SparseWSchurNewtonSolver:
         rc, rp = Jt_x["c"], Jt_x["q"]
         dt = rc.dtype
         (Lv, Ls), lam, ok = chol.escalating_lambda(
-            lambda lm: self._try_factor(JtJ, lm), lam, dt,
+            lambda lm: self.factor(JtJ, lm), lam, dt,
             lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
 

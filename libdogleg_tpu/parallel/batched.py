@@ -28,15 +28,30 @@ def shard_batch(tree: Any, mesh: Mesh, axis_name: str = "dp") -> Any:
         lambda a: jax.device_put(a, sharding), tree)
 
 
+# Auto-selection bounds for BlockedDenseNewtonSolver: it only pays in the
+# genuinely batched regime (the win is amortized over thousands of vmapped
+# instances) and its trace-time unrolling costs tens of seconds of compile
+# at Nstate=128 (worse at 256) — so auto-select needs BOTH a real batch
+# and a capped Nstate. Explicit opt-in (newton_solver=
+# BlockedDenseNewtonSolver()) still covers the full 17..256 window.
+AUTO_BLOCKED_MIN_BATCH = 128
+AUTO_BLOCKED_MAX_N = 128
+
+
 def _auto_newton(products_fn, p0_batch, problem_data):
     """Batch-regime strategy default: for a dense square JtJ with mid-size
-    Nstate (17..256), the blocked-panel Cholesky beats XLA's batched
-    lax.linalg lowering by ~26x (ops/newton.BlockedDenseNewtonSolver);
-    below that smallchol already handles it, above it lax.linalg wins.
-    Returns None (solver default) outside that window or for structured
-    JtJ representations (Schur, block-sparse)."""
-    from libdogleg_tpu.ops.newton import (BLOCKED_MAX_N, BLOCKED_MIN_N,
+    Nstate (17..128) and batch >= 128, the blocked-panel Cholesky beats
+    XLA's batched lax.linalg lowering by ~26x
+    (ops/newton.BlockedDenseNewtonSolver); below the Nstate window
+    smallchol already handles it, above it lax.linalg wins, and small
+    batches don't amortize blockchol's long unrolled compile. Returns
+    None (solver default) outside that regime or for structured JtJ
+    representations (Schur, block-sparse)."""
+    from libdogleg_tpu.ops.newton import (BLOCKED_MIN_N,
                                           BlockedDenseNewtonSolver)
+    batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
+    if batch < AUTO_BLOCKED_MIN_BATCH:
+        return None
     try:
         p0 = jax.tree_util.tree_map(lambda a: a[0], p0_batch)
         if problem_data is None:
@@ -48,7 +63,7 @@ def _auto_newton(products_fn, p0_batch, problem_data):
         return None
     shp = getattr(jtj, "shape", None)
     if (shp is not None and len(shp) == 2 and shp[0] == shp[1]
-            and BLOCKED_MIN_N <= shp[0] <= BLOCKED_MAX_N):
+            and BLOCKED_MIN_N <= shp[0] <= AUTO_BLOCKED_MAX_N):
         return BlockedDenseNewtonSolver()
     return None
 

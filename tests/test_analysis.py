@@ -302,6 +302,38 @@ def test_trace_new_features_windowed_matches_dense():
                                        rtol=1e-9, atol=1e-12)
 
 
+def test_trace_new_features_windowed_out_of_range():
+    """Out-of-range windows follow the documented contract: columns
+    falling outside [0, nstate) contribute exactly zero (matching the
+    dense form on a Jq with those columns dropped), and fully
+    out-of-range queries return exactly 0 — never a plausible-looking
+    wrong trace from clamped/wrapped indices."""
+    from libdogleg_tpu.analysis import (
+        outlierness_trace_new_feature,
+        outlierness_trace_new_features_windowed)
+
+    rng = np.random.default_rng(23)
+    nstate, nmeas, fs, w = 24, 96, 2, 5
+    J = rng.normal(size=(nmeas, nstate))
+    fac = factorize_jtj(jnp.asarray(J.T @ J), jnp.asarray(0.0))
+    norm2x = jnp.asarray(37.5)
+
+    starts = np.array([-3, 22, 30, -10, 4])   # partial / partial / fully
+    Jq_win = rng.normal(size=(len(starts), fs, w))
+    got = outlierness_trace_new_features_windowed(
+        jnp.asarray(Jq_win), jnp.asarray(starts), fac.L, norm2x, nmeas)
+    for q, s in enumerate(starts):
+        Jq = np.zeros((fs, nstate))
+        lo, hi = max(s, 0), min(s + w, nstate)
+        if lo < hi:
+            Jq[:, lo:hi] = Jq_win[q][:, lo - s:hi - s]
+        ref = outlierness_trace_new_feature(jnp.asarray(Jq), fac.L,
+                                            norm2x, nmeas)
+        np.testing.assert_allclose(float(got[q]), float(ref),
+                                   rtol=1e-9, atol=1e-12)
+    assert float(got[2]) == 0.0 and float(got[3]) == 0.0
+
+
 def test_trace_new_features_windowed_sparse_factor():
     """Windowed batched queries against a block-sparse factor (solve_fn)
     match the dense-factor result."""
@@ -398,3 +430,36 @@ def test_ba_outlierness_matches_dense_oracle():
     fd_obs = np.asarray(fd)[:ba.nobs].reshape(ba.npts, ba.k_obs)
     np.testing.assert_allclose(np.asarray(fac_ba), fd_obs,
                                rtol=1e-7, atol=1e-10)
+
+
+def test_ba_outlierness_factor_reuse():
+    """Passing a precomputed solver.factor(JtJ, lam) handle (the public
+    cached-factorization contract, reference dogleg.c:2636-2652) yields
+    bit-identical factors to letting the pass refactorize, and the
+    public method agrees with what the solve used."""
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.analysis import get_outlierness_factors_ba
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.solver import solve_products
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=5, ncam=4, npts=40, k_obs=2)
+    solver = ba.newton_solver()
+    p0 = ba.p0(jax.random.PRNGKey(1), jitter=0.02)
+    r = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=solver))(p0["c"], p0["q"])
+    p = {"c": r.p["c"], "q": r.p["q"]}
+    JtJ = ba.products(p).JtJ
+    robs, Jc, Jq = ba.observation_jacobians(p)
+    nmeas_total = 2 * ba.nobs + 6 + 3 * ba.npts
+
+    fac = solver.factor(JtJ, r.lam)
+    assert bool(fac[1])
+    f_reused, s1 = get_outlierness_factors_ba(
+        robs, Jc, Jq, JtJ, r.lam, r.norm2_x, nmeas_total, solver,
+        factorization=fac)
+    f_fresh, s2 = get_outlierness_factors_ba(
+        robs, Jc, Jq, JtJ, r.lam, r.norm2_x, nmeas_total, solver)
+    assert float(s1) == float(s2)
+    np.testing.assert_array_equal(np.asarray(f_reused),
+                                  np.asarray(f_fresh))

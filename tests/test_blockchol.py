@@ -74,10 +74,13 @@ def test_blocked_newton_solver_matches_dense():
 
 def test_auto_newton_selection():
     """batched_optimize auto-selects the blocked strategy exactly for dense
-    square JtJ with 17 <= Nstate <= 256."""
+    square JtJ with 17 <= Nstate <= AUTO_BLOCKED_MAX_N AND a real batch
+    (>= AUTO_BLOCKED_MIN_BATCH): small batches must not pay blockchol's
+    long unrolled compile, larger Nstate stays explicit opt-in."""
     from libdogleg_tpu.ops import dense as dops
     from libdogleg_tpu.ops.newton import BlockedDenseNewtonSolver
-    from libdogleg_tpu.parallel.batched import _auto_newton
+    from libdogleg_tpu.parallel.batched import (AUTO_BLOCKED_MIN_BATCH,
+                                                _auto_newton)
     from libdogleg_tpu.solver import Products
 
     def make_products(nmeas, nstate):
@@ -88,12 +91,18 @@ def test_auto_newton_selection():
                             JtJ=dops.build_jtj(J))
         return products
 
+    big = AUTO_BLOCKED_MIN_BATCH
     for nstate, expect in [(8, False), (16, False), (17, True), (64, True),
-                           (256, True), (257, False)]:
-        data = jnp.zeros((3, 2 * nstate, nstate))
-        p0s = jnp.zeros((3, nstate))
-        ns = _auto_newton(make_products(2 * nstate, nstate), p0s, data)
+                           (128, True), (129, False), (256, False)]:
+        data = jnp.zeros((big, nstate, nstate))
+        p0s = jnp.zeros((big, nstate))
+        ns = _auto_newton(make_products(nstate, nstate), p0s, data)
         assert isinstance(ns, BlockedDenseNewtonSolver) == expect, nstate
+
+    # below the batch gate: never auto-selected, regardless of Nstate
+    data = jnp.zeros((big - 1, 64, 64))
+    p0s = jnp.zeros((big - 1, 64))
+    assert _auto_newton(make_products(64, 64), p0s, data) is None
 
 
 def test_pallas_blocked_cholesky_interpret():

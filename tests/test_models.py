@@ -191,6 +191,34 @@ def test_pinhole_ba_grid_products_match_scatter_path():
                                    rtol=1e-9, atol=1e-12)
 
 
+def test_pinhole_ba_traced_indices():
+    """products stays traceable when the index fields are tracers (an
+    instance passed through jit as data): _dense_grid cannot inspect a
+    tracer, so it must fall back to the generic scatter path instead of
+    raising TracerArrayConversionError — and the numbers must match the
+    eager grid path on the same data."""
+    import numpy as np
+
+    from libdogleg_tpu.models import pinhole_ba
+
+    ba = pinhole_ba.make_synthetic(seed=3, ncam=3, npts=20)
+    p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
+    eager = ba.products(p0)   # grid path (concrete indices)
+
+    def f(ci, pi, pc, pq):
+        bt = ba._replace(cam_idx=ci, pt_idx=pi)
+        pr = bt.products({"c": pc, "q": pq})
+        return pr.norm2_x, pr.Jt_x, pr.JtJ
+
+    n2, jtx, jtj = jax.jit(f)(ba.cam_idx, ba.pt_idx, p0["c"], p0["q"])
+    np.testing.assert_allclose(float(n2), float(eager.norm2_x), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(jtj.V), np.asarray(eager.JtJ.V),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(jtx["c"]),
+                               np.asarray(eager.Jt_x["c"]),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_sparse_visibility_ba_matches_dense_w():
     """SparseWSchurNewtonSolver on the sparse-visibility BA model takes
     the same trajectory as TreeSchurNewtonSolver on the densified-W
