@@ -25,6 +25,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from libdogleg_tpu.ops import cholesky as chol
+from libdogleg_tpu.ops import compensated as comp
 
 
 class GNResult(NamedTuple):
@@ -34,11 +35,46 @@ class GNResult(NamedTuple):
     ok: jnp.ndarray       # factorization succeeded
 
 
+# Mixed-precision residual computation for iterative refinement. Two
+# levels matter on TPU: (1) matmuls multiply in bfloat16 by default
+# (Precision.DEFAULT, ~2^-8 relative per product) — HIGHEST forces
+# true-f32 multiplication for the residual contractions; (2) even a
+# true-f32 residual r = b - A u carries rounding ~ n*eps32*|A||u|, the
+# same order as the solve error it is measuring, so refinement against
+# it stalls near the unrefined forward error. The strategies therefore
+# accumulate their refinement residuals in DOUBLE-f32 compensated
+# arithmetic (ops/compensated.py) wherever the structure permits —
+# error-free products + cascaded two_sum — making the residual accurate
+# to ~eps of its OWN magnitude and letting refinement converge to the
+# f32 representation floor.
+_HI = jax.lax.Precision.HIGHEST
+
+
+def _refine(u, solve_fn, resid_fn, iters: int):
+    """Classical iterative refinement against a low-precision factor:
+    u_{k+1} = u_k + A^{-1} r(u_k), with the residual r computed by
+    resid_fn (compensated, see module note) and the correction solved
+    with the ALREADY-COMPUTED factor (cost per pass: one matvec + one
+    factor solve — no refactorization). Recovers near-f64 solve accuracy
+    while all heavy work stays f32 (the reference's contract is C
+    doubles end-to-end, dogleg.c:125-127; this is the f32-native route
+    back toward it). u is a pytree (flat vector or structured state)."""
+    for _ in range(iters):
+        u = jax.tree_util.tree_map(lambda a, d: a + d, u,
+                                   solve_fn(resid_fn(u)))
+    return u
+
+
 @dataclasses.dataclass(frozen=True)
 class DenseNewtonSolver:
     """Default: JtJ is a dense (Nstate, Nstate) symmetric matrix
     (the reference's LAPACK path, generalized to the sparse path too since
-    the BCSR adapter materializes dense JtJ for moderate Nstate)."""
+    the BCSR adapter materializes dense JtJ for moderate Nstate).
+
+    refine_iters > 0 runs that many iterative-refinement passes of the GN
+    solve against the computed factor (see _refine) — the mixed-precision
+    option that recovers near-f64 solve accuracy on f32-native TPUs."""
+    refine_iters: int = 0
 
     def quad_form(self, JtJ, v):
         return jnp.dot(v, jnp.matmul(JtJ, v,
@@ -49,6 +85,16 @@ class DenseNewtonSolver:
         fac = chol.factorize_jtj(JtJ, lam, lambda_initial=lambda_initial,
                                  lambda_max_tries=lambda_max_tries)
         step, n2 = chol.gauss_newton_step(fac.L, Jt_x)
+        if self.refine_iters:
+            def resid(v):
+                hi, lo = comp.comp_matvec(JtJ, v)
+                hi, lo = comp.pair_add_prod(hi, lo, fac.lam, v)
+                return comp.residual(Jt_x, hi, lo)
+
+            u = _refine(-step, lambda r: chol.cholesky_solve(fac.L, r),
+                        resid, self.refine_iters)
+            step = -u
+            n2 = jnp.dot(step, step)
         return GNResult(step=step, norm2_step=n2, lam=fac.lam, ok=fac.ok)
 
 
@@ -69,7 +115,14 @@ class BlockedDenseNewtonSolver:
     unrolled flat VPU DAGs. Trade-off: trace-time unrolling grows compile
     time with Nstate (tens of seconds at Nstate=128) — right for production
     batched solves, wrong for one-off single solves, hence a separate
-    strategy rather than a new factorize_jtj default."""
+    strategy rather than a new factorize_jtj default.
+
+    Above BLOCKED_MAX_N the factorization dispatches to the recursive
+    GEMM-dominant form (ops/largechol.py) instead: compile size stays
+    O(n/panel), the trailing updates run as large MXU matmuls, and the
+    triangular solves ride lax.linalg (O(n^2), off the critical flops).
+    One strategy covers dense Nstate 17..thousands."""
+    refine_iters: int = 0
 
     def quad_form(self, JtJ, v):
         return jnp.dot(v, jnp.matmul(JtJ, v,
@@ -77,19 +130,35 @@ class BlockedDenseNewtonSolver:
 
     def gauss_newton(self, JtJ, Jt_x, lam, *, lambda_initial,
                      lambda_max_tries) -> GNResult:
-        from libdogleg_tpu.ops import blockchol
+        from libdogleg_tpu.ops import blockchol, largechol
 
         n = JtJ.shape[-1]
         eye = jnp.eye(n, dtype=JtJ.dtype)
+        large = n > BLOCKED_MAX_N
 
         def try_factor(lm):
-            L, ok = blockchol.blocked_cholesky(JtJ + lm * eye)
+            L, ok = (largechol.large_cholesky if large
+                     else blockchol.blocked_cholesky)(JtJ + lm * eye)
             return L, jnp.all(ok)
 
         L, lam, ok = chol.escalating_lambda(
             try_factor, lam, JtJ.dtype, lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
-        step = -blockchol.blocked_cho_solve(L, Jt_x)
+
+        def solve(r):
+            if large:
+                return chol.cholesky_solve(L, r)
+            return blockchol.blocked_cho_solve(L, r)
+
+        u = solve(Jt_x)
+        if self.refine_iters:
+            def resid(v):
+                hi, lo = comp.comp_matvec(JtJ, v)
+                hi, lo = comp.pair_add_prod(hi, lo, lam, v)
+                return comp.residual(Jt_x, hi, lo)
+
+            u = _refine(u, solve, resid, self.refine_iters)
+        step = -u
         return GNResult(step=step, norm2_step=jnp.dot(step, step),
                         lam=lam, ok=ok)
 
@@ -140,6 +209,10 @@ class SchurNewtonSolver:
     #     with the default, A/B this flag.
     # block_size > 16 always uses lax.
     point_solver: str = "unrolled"
+    # iterative-refinement passes of the GN solve against the computed
+    # factors (see _refine); corrects f32/bf16 rounding in the point
+    # eliminations AND the reduced-system assembly einsums.
+    refine_iters: int = 0
 
     def quad_form(self, JtJ: SchurJtJ, v):
         vc, vp = schur_split(v, self.nc, self.n_points, self.block_size)
@@ -216,13 +289,42 @@ class SchurNewtonSolver:
                                                    lower=True,
                                                    transpose_a=True)
 
-        y = vsolve(rp[..., None])[..., 0]               # (np, bs)
-        rhs_c = rc - jnp.einsum('cpb,pb->c', JtJ.W, y,
-                                preferred_element_type=rc.dtype)
-        dc = chol.cholesky_solve(Ls, rhs_c)
-        rp2 = rp - jnp.einsum('cpb,c->pb', JtJ.W, dc,
-                              preferred_element_type=rc.dtype)
-        dp = vsolve(rp2[..., None])[..., 0]
+        def solve_pair(bc, bp):
+            # exact A^{-1} given the factors (Schur elimination is
+            # algebraically exact): y = Vhat^{-1} bp; dc from S; back-sub
+            y = vsolve(bp[..., None])[..., 0]           # (np, bs)
+            sc = chol.cholesky_solve(
+                Ls, bc - jnp.einsum('cpb,pb->c', JtJ.W, y,
+                                    preferred_element_type=bc.dtype))
+            sp = vsolve((bp - jnp.einsum('cpb,c->pb', JtJ.W, sc,
+                                         preferred_element_type=bc.dtype)
+                         )[..., None])[..., 0]
+            return sc, sp
+
+        dc, dp = solve_pair(rc, rp)
+        if self.refine_iters:
+            def resid(v):
+                vc, vp = v
+                # camera rows: U vc + lam vc + sum_pb W[c,p,b] vp[p,b]
+                hc, lc = comp.comp_matvec(JtJ.U, vc)
+                hc, lc = comp.pair_add_prod(hc, lc, lam, vc)
+                hw, lw = comp.comp_contract(
+                    JtJ.W, vp, reduce_axes=(1, 2),
+                    broadcast=lambda x: x[None, :, :])
+                hc, lc = comp.pair_add(hc, lc, hw, lw)
+                # point rows: W^T vc + V vp + lam vp
+                h1, l1 = comp.comp_contract(
+                    JtJ.W, vc, reduce_axes=(0,),
+                    broadcast=lambda x: x[:, None, None])
+                h2, l2 = comp.comp_contract(
+                    JtJ.V, vp, reduce_axes=(2,),
+                    broadcast=lambda x: x[:, None, :])
+                hp, lp = comp.pair_add(h1, l1, h2, l2)
+                hp, lp = comp.pair_add_prod(hp, lp, lam, vp)
+                return comp.residual(rc, hc, lc), comp.residual(rp, hp, lp)
+
+            dc, dp = _refine((dc, dp), lambda r: solve_pair(*r), resid,
+                             self.refine_iters)
         return dc, dp, lam, ok
 
     def gauss_newton(self, JtJ: SchurJtJ, Jt_x, lam, *, lambda_initial,
@@ -281,6 +383,8 @@ class SparseNewtonSolver:
     (dogleg.c:649-654).
     """
     symbolic: "object"  # SparseCholeskySymbolic (kept loose to avoid cycle)
+    # iterative-refinement passes of the GN solve (see _refine)
+    refine_iters: int = 0
 
     @staticmethod
     def analyze(rows, cols, nb: int, b: int = 1,
@@ -334,7 +438,52 @@ class SparseNewtonSolver:
         L, lam, ok = be.factorize_with_lambda(
             self.symbolic, blocks, lam, lambda_initial=lambda_initial,
             lambda_max_tries=lambda_max_tries)
-        step = -be.solve(self.symbolic, L, Jt_x)
+        u = be.solve(self.symbolic, L, Jt_x)
+        if self.refine_iters:
+            sym = self.symbolic
+            b = sym.b
+            rows_np = np.asarray(sym.in_rows)
+            cols_np = np.asarray(sym.in_cols)
+            K = rows_np.shape[0]
+            # A scatter-add matvec would round each accumulation in f32
+            # and defeat the compensated residual, so build (trace-time,
+            # from the static symbolic pattern) a padded per-block-row
+            # GATHER table instead: stored lower block B_k at (i, j)
+            # contributes product index k (B_k v_j) to row i and index
+            # K+k (B_k^T v_i) to row j when off-diagonal; rows then
+            # compensated-reduce their gathered exact-product pairs.
+            terms = [[] for _ in range(sym.nb)]
+            for k, (i, j) in enumerate(zip(rows_np, cols_np)):
+                terms[int(i)].append(k)
+                if i != j:
+                    terms[int(j)].append(K + k)
+            width = max(len(t) for t in terms)
+            tbl = np.zeros((sym.nb, width), np.int32)
+            msk = np.zeros((sym.nb, width), bool)
+            for i, t in enumerate(terms):
+                tbl[i, :len(t)] = t
+                msk[i, :len(t)] = True
+            tbl_j, msk_j = jnp.asarray(tbl), jnp.asarray(msk[..., None])
+            rows_j, cols_j = jnp.asarray(rows_np), jnp.asarray(cols_np)
+
+            def resid(v):
+                vb = v.reshape(sym.nb, b)
+                pl, el = comp.comp_contract(      # B_k @ v_{cols[k]}
+                    blocks, vb[cols_j], reduce_axes=(2,),
+                    broadcast=lambda x: x[:, None, :])
+                pu, eu = comp.comp_contract(      # B_k^T @ v_{rows[k]}
+                    blocks, vb[rows_j], reduce_axes=(1,),
+                    broadcast=lambda x: x[:, :, None])
+                H = jnp.where(msk_j, jnp.concatenate([pl, pu])[tbl_j], 0)
+                E = jnp.where(msk_j, jnp.concatenate([el, eu])[tbl_j], 0)
+                hi, lo = comp.comp_reduce(H, E, axis=1)
+                hi, lo = comp.pair_add_prod(hi.reshape(-1),
+                                            lo.reshape(-1), lam, v)
+                return comp.residual(Jt_x, hi, lo)
+
+            u = _refine(u, lambda r: be.solve(sym, L, r), resid,
+                        self.refine_iters)
+        step = -u
         return GNResult(step=step, norm2_step=jnp.dot(step, step),
                         lam=lam, ok=ok)
 
@@ -394,6 +543,12 @@ class SparseWSchurNewtonSolver:
     # it the reduced system accumulates over point chunks (see
     # factor()). Tests shrink it to force the chunked path.
     s_chunk_limit: int = 1 << 24
+    # iterative-refinement passes of the GN solve (see _refine)
+    refine_iters: int = 0
+    # optional STATIC per-camera gather table from build_cam_gather
+    # (requires concrete visibility at construction time); enables a
+    # fully compensated camera-row refinement residual — see gauss_newton
+    cam_gather: "object" = None
 
     @property
     def ncam(self) -> int:
@@ -492,17 +647,91 @@ class SparseWSchurNewtonSolver:
         def vsolve(b):                                   # (np, bs)
             return smallchol.small_cho_solve_mat(Lv, b[..., None])[..., 0]
 
-        y = vsolve(rp)
-        wy = self._cam_reduce(JtJ, jnp.einsum(
-            'pkij,pj->pki', JtJ.Wv, y, preferred_element_type=dt))
-        dc = chol.cholesky_solve(Ls, rc - wy)
-        dcg = dc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
-        rp2 = rp - jnp.einsum('pkij,pki->pj', JtJ.Wv, dcg,
-                              preferred_element_type=dt)
-        dp = vsolve(rp2)
+        def solve_pair(bc, bp):
+            y = vsolve(bp)
+            wy = self._cam_reduce(JtJ, jnp.einsum(
+                'pkij,pj->pki', JtJ.Wv, y, preferred_element_type=dt))
+            sc = chol.cholesky_solve(Ls, bc - wy)
+            scg = sc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
+            sp = vsolve(bp - jnp.einsum('pkij,pki->pj', JtJ.Wv, scg,
+                                        preferred_element_type=dt))
+            return sc, sp
+
+        dc, dp = solve_pair(rc, rp)
+        if self.refine_iters:
+            # Point rows compensate fully (small static contractions).
+            # Camera rows: the per-camera segmented reduction over
+            # observations can only be compensated through a STATIC
+            # gather table (build_cam_gather) — the one-hot MXU einsum
+            # rounds its accumulation invisibly. With cam_gather set the
+            # residual is full double-f32; without it the camera rows
+            # fall back to a Precision.HIGHEST f32 residual, which still
+            # corrects the bf16-multiply error of the default-precision
+            # solve path on TPU.
+            cg = self.cam_gather
+
+            def resid(v):
+                vc, vp = v
+                vcg = vc.reshape(self.ncam, self.cam_block)[JtJ.cam_of]
+                if cg is not None:
+                    tbl, msk = cg
+                    hw, lw = comp.comp_contract(   # (np, k, cb) pairs
+                        JtJ.Wv, vp, reduce_axes=(3,),
+                        broadcast=lambda x: x[:, None, None, :])
+                    cb = hw.shape[-1]
+                    H = jnp.where(msk, hw.reshape(-1, cb)[tbl], 0)
+                    E = jnp.where(msk, lw.reshape(-1, cb)[tbl], 0)
+                    hc, lc = comp.comp_reduce(H, E, axis=1)
+                    hc, lc = hc.reshape(-1), lc.reshape(-1)
+                    h1, l1 = comp.comp_matvec(JtJ.U, vc)
+                    hc, lc = comp.pair_add(hc, lc, h1, l1)
+                    hc, lc = comp.pair_add_prod(hc, lc, lam, vc)
+                    mc = comp.residual(rc, hc, lc)
+                else:
+                    mc = rc - (jnp.matmul(JtJ.U, vc, precision=_HI,
+                                          preferred_element_type=dt)
+                               + lam * vc
+                               + self._cam_reduce(JtJ, jnp.einsum(
+                                   'pkij,pj->pki', JtJ.Wv, vp,
+                                   precision=_HI,
+                                   preferred_element_type=dt)))
+                h1, l1 = comp.comp_contract(
+                    JtJ.Wv, vcg, reduce_axes=(1, 2),
+                    broadcast=lambda x: x[..., None])
+                h2, l2 = comp.comp_contract(
+                    JtJ.V, vp, reduce_axes=(2,),
+                    broadcast=lambda x: x[:, None, :])
+                hp, lp = comp.pair_add(h1, l1, h2, l2)
+                hp, lp = comp.pair_add_prod(hp, lp, lam, vp)
+                return mc, comp.residual(rp, hp, lp)
+
+            dc, dp = _refine((dc, dp), lambda r: solve_pair(*r), resid,
+                             self.refine_iters)
         step = {"c": -dc, "q": -dp}
         n2 = jnp.dot(dc, dc) + jnp.sum(dp * dp)
         return GNResult(step=step, norm2_step=n2, lam=lam, ok=ok)
+
+
+def build_cam_gather(cam_of, ncam: int):
+    """Static per-camera gather table over the flattened (np*k_obs)
+    observation axis, for SparseWSchurNewtonSolver.cam_gather: lets the
+    refinement residual's camera reduction run as gather + compensated
+    pairwise sum instead of a rounding one-hot einsum. Requires CONCRETE
+    visibility (numpy cam_of) at construction time — padded/invalid
+    observation slots are fine as long as their Wv blocks are zero (they
+    gather exact zeros). Returns (tbl (ncam, width) int32, mask
+    (ncam, width, 1) bool) as jnp arrays."""
+    cam_of = np.asarray(cam_of).reshape(-1)
+    terms = [[] for _ in range(ncam)]
+    for idx, c in enumerate(cam_of):
+        terms[int(c)].append(idx)
+    width = max(1, max(len(t) for t in terms))
+    tbl = np.zeros((ncam, width), np.int32)
+    msk = np.zeros((ncam, width), bool)
+    for c, t in enumerate(terms):
+        tbl[c, :len(t)] = t
+        msk[c, :len(t)] = True
+    return jnp.asarray(tbl), jnp.asarray(msk[..., None])
 
 
 def onehot_cam_reduce(cam_of, vals, ncam: int,
