@@ -31,10 +31,14 @@ if "xla_force_host_platform_device_count" not in os.environ.get(
 # update after initialization is ignored). The axon env pins a single
 # tunneled chip, so scaling falls back to the virtual CPU mesh there;
 # SCALING_REAL=1 forces whatever the environment provides (pod slices).
+# The explicit config update must happen UNCONDITIONALLY: the axon
+# sitecustomize pins the jax CONFIG (not just the env var) at interpreter
+# start, so an inherited JAX_PLATFORMS=cpu env var alone still leaves the
+# process trying to claim the tunneled TPU (and hanging when the tunnel
+# is unavailable — seen as a 900 s test timeout).
 import jax  # noqa: E402
 
-if (os.environ.get("SCALING_REAL") != "1"
-        and os.environ.get("JAX_PLATFORMS", "") != "cpu"):
+if os.environ.get("SCALING_REAL") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
     jax.config.update("jax_platforms", "cpu")
 
@@ -50,7 +54,9 @@ from libdogleg_tpu.utils.benchtime import measure_loop  # noqa: E402
 
 REAL = os.environ.get("SCALING_REAL") == "1"
 PER_DEVICE_BATCH = 512
-TOTAL_BATCH = 4096          # fixed-work mode (virtual mesh)
+# fixed-work mode (virtual mesh); SCALING_BATCH lets the suite's
+# regression gate run a reduced, faster instance
+TOTAL_BATCH = int(os.environ.get("SCALING_BATCH", "4096"))
 DTYPE = jnp.float32
 PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
                        update_threshold=1e-5, trustregion_threshold=1e-5)

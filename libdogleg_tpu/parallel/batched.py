@@ -124,6 +124,8 @@ def batched_optimize_compacted(products_fn,
                                p0_batch: jnp.ndarray,
                                parameters: Optional[DoglegParameters] = None,
                                *,
+                               mesh: Optional[Mesh] = None,
+                               axis_name: str = "dp",
                                problem_data: Any = None,
                                phase1_attempts: Optional[int] = None,
                                compact_capacity: Optional[int] = None,
@@ -150,6 +152,16 @@ def batched_optimize_compacted(products_fn,
         pass, whose per-wavefront cost is 1/16 of full width. Any value
         is exact; this only moves work between phases.
 
+    mesh/axis_name compose compaction with data parallelism (the pod
+    deployment shape): inputs/outputs are constrained to shard along the
+    batch axis, and the compact straggler buffer is ALSO constrained to
+    shard over the same axis — the gather from the full batch into the
+    buffer is the one cross-device exchange (an all-gather of straggler
+    indices + a resharding gather, cap-sized, once per solve), after
+    which the compact pass runs data-parallel like phase 1. Results are
+    exact and identical to the unsharded form (tested on the 8-device
+    mesh); the adaptive phase-1 stopping reduction is a global psum.
+
     Returns a SolveResult with the leading batch axis, identical to
     batched_optimize.
     """
@@ -166,7 +178,6 @@ def batched_optimize_compacted(products_fn,
             return products_fn
         return lambda p: products_fn(p, data)
 
-    @jax.jit
     def run(p0s, data):
         def init_one(p0, d):
             return init_solver_state(products_of(d), p0, prm)
@@ -191,7 +202,17 @@ def batched_optimize_compacted(products_fn,
         # run_solver freezes done states, so re-solving lane 0 rewrites
         # its own identical state)
         idx = jnp.nonzero(~st.done, size=cap, fill_value=0)[0]
-        take = lambda x: jax.tree_util.tree_map(lambda a: a[idx], x)
+        if mesh is not None:
+            # keep the compact pass data-parallel too: without the
+            # constraint the partitioner may replicate the cap-sized
+            # buffer and run the straggler pass redundantly on every
+            # device
+            shard = NamedSharding(mesh, P(axis_name))
+            take = lambda x: jax.tree_util.tree_map(
+                lambda a: jax.lax.with_sharding_constraint(a[idx], shard),
+                x)
+        else:
+            take = lambda x: jax.tree_util.tree_map(lambda a: a[idx], x)
         sub = jax.vmap(lambda s, d: run_solver(products_of(d), s, prm,
                                                newton_solver=newton_solver))(
             take(st), take(data))
@@ -205,4 +226,12 @@ def batched_optimize_compacted(products_fn,
 
     if problem_data is None:
         problem_data = jnp.zeros((batch, 0))  # dummy; products_of ignores it
+    if mesh is not None:
+        spec = NamedSharding(mesh, P(axis_name))
+        run = jax.jit(run,
+                      in_shardings=jax.tree_util.tree_map(
+                          lambda _: spec, (p0_batch, problem_data)),
+                      out_shardings=spec)
+    else:
+        run = jax.jit(run)
     return run(p0_batch, problem_data)

@@ -215,6 +215,79 @@ def test_batched_compaction_exact(cap_frac):
                                   np.asarray(r_ref.reason))
 
 
+def test_batched_compaction_sharded():
+    """Compaction COMPOSED with the dp mesh (the pod deployment shape):
+    bit-identical to both the unsharded compacted run and the plain
+    sharded batched solve, results carry the dp sharding, and the
+    compact straggler buffer is itself dp-sharded (no redundant
+    replicated straggler pass)."""
+    from jax.sharding import PartitionSpec as P
+
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    batch = 128
+    mesh = make_mesh(("dp",))
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters(max_iterations=8)
+    r_plain = batched_optimize(products, p0s, prm, problem_data=meas,
+                               mesh=mesh)
+    r_unsharded = batched_optimize_compacted(products, p0s, prm,
+                                             problem_data=meas)
+    p0s_s, meas_s = shard_batch((p0s, meas), mesh)
+    r = batched_optimize_compacted(products, p0s_s, prm,
+                                   problem_data=meas_s, mesh=mesh)
+    # sharded and unsharded programs are different XLA compilations
+    # (different fusion/reduction orders), so agreement is to roundoff,
+    # not bitwise; decisions (step counts, stop reasons) must be identical
+    for ref in (r_unsharded, r_plain):
+        np.testing.assert_allclose(np.asarray(r.p), np.asarray(ref.p),
+                                   rtol=1e-12, atol=1e-13)
+        np.testing.assert_array_equal(np.asarray(r.step_count),
+                                      np.asarray(ref.step_count))
+        np.testing.assert_array_equal(np.asarray(r.reason),
+                                      np.asarray(ref.reason))
+    assert r.p.sharding.spec == P("dp")
+
+
+def test_scaling_retention_gate():
+    """Partitioning-overhead regression gate (BASELINE.md's >= 80%
+    scaling-efficiency row, in its single-host measurable form): with
+    total work fixed, sharding the batch over the 8-virtual-device mesh
+    must retain >= 0.8 of single-device throughput — a hidden
+    cross-device serialization or communication in the batched path
+    fails this. Runs bench_scaling.py reduced (1->2 devices, batch 1024
+    — the full 1..8 sweep is the tracked BENCH_SCALING_r*.json) in a
+    subprocess so its platform/device setup cannot disturb this
+    process's backend."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ, SCALING_BATCH="1024", SCALING_DEVICES="2",
+               JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)   # bench_scaling sets its own device count
+    out = subprocess.run(
+        [sys.executable, os.path.join(os.path.dirname(__file__), "..",
+                                      "bench_scaling.py")],
+        env=env, capture_output=True, text=True, timeout=900)
+    assert out.returncode == 0, out.stderr[-2000:]
+    last = json.loads(out.stdout.strip().splitlines()[-1])
+    assert last["metric"] == "partitioning_retention_worst"
+    assert last["value"] >= 0.8, out.stdout
+    assert last["passes"]
+
+
 def test_measurement_sharded_sparse_jtj():
     """Row-sharded measurements + block-sparse JtJ psum + supernodal
     Cholesky: the sharding x sparsity composition, exact vs the
