@@ -13,9 +13,23 @@ Runs on whatever backend the environment provides (the tunneled TPU here).
   7. nonlinear pinhole-camera bundle adjustment (the reference's domain)
 """
 
+import dataclasses
 import json
+import os
+
+# The f64 oracle legs (f64_accuracy_cols) run on the host CPU backend;
+# under the axon sitecustomize the config is pinned to the tunneled TPU
+# alone, which hides the CPU backend — widen to "axon,cpu" (axon stays
+# the default device) before any backend is created.
+if "axon" in os.environ.get("JAX_PLATFORMS", ""):
+    os.environ["JAX_PLATFORMS"] = "axon,cpu"
 
 import jax
+
+if jax.config.jax_platforms and "cpu" not in jax.config.jax_platforms:
+    jax.config.update("jax_platforms",
+                      jax.config.jax_platforms + ",cpu")
+
 import jax.numpy as jnp
 import numpy as np
 
@@ -25,12 +39,82 @@ from libdogleg_tpu.analysis import get_outlierness_factors
 from libdogleg_tpu.models import (bundle_adjustment, curve_fit, grid_mrf,
                                   pinhole_ba)
 from libdogleg_tpu.ops.cholesky import factorize_jtj
+from libdogleg_tpu.ops.newton import build_cam_gather
 from libdogleg_tpu.solver import Products, solve_products
 from libdogleg_tpu.utils.benchtime import fetch, measure_loop
 
 DTYPE = jnp.float32
 PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
                        update_threshold=1e-5, trustregion_threshold=1e-5)
+
+
+# The reference's numeric contract is C doubles end-to-end with 1e-8
+# termination thresholds (reference dogleg.c:125-127). TPU rows run f32
+# with loosened thresholds; the f64 oracle columns below quantify what
+# that costs, per instance, against an f64 CPU solve of the SAME
+# (f32-rounded) instance under the reference's tight defaults.
+TIGHT64 = DoglegParameters()
+
+
+def _cast64(tree):
+    """Cast every floating leaf up to f64 (exact); non-float leaves
+    (index tables, static ints) pass through."""
+    def cast(a):
+        if hasattr(a, "dtype") and jnp.issubdtype(a.dtype, jnp.floating):
+            return jnp.asarray(np.asarray(a), jnp.float64)
+        return a
+    return jax.tree_util.tree_map(cast, tree)
+
+
+def _flat64(p):
+    return np.concatenate([np.asarray(l, np.float64).ravel()
+                           for l in jax.tree_util.tree_leaves(p)])
+
+
+def _g(x):
+    return float(f"{float(x):.4g}")
+
+
+def f64_accuracy_cols(solve64, p32, n2_32, p32r=None, n2_32r=None):
+    """Accuracy-vs-f64 evidence columns (VERDICT r2 ask 2a).
+
+    solve64(p0_or_None): thunk returning (p, norm2_x) from an f64 solve
+    of the SAME (f32-rounded) instance under the reference's tight
+    default thresholds, traced with x64 enabled on the host CPU backend.
+    Called twice: with None (solve from the config's own start — the
+    trajectory-level oracle for final_cost_ratio) and with the f32
+    solution (an f64 POLISH — the parameter-error oracle: under
+    near-gauge/flat directions two independent trajectories legitimately
+    land far apart at identical cost, so distance-to-own-polish is the
+    honest measure of how far f32 stopped from a true optimum).
+    p32/n2_32: the f32 device solution; p32r/n2_32r: optionally the same
+    solve with iterative refinement (ops/newton refine_iters) enabled.
+    """
+    try:
+        dev = jax.devices("cpu")[0]
+    except RuntimeError:
+        return {"f64_oracle": "cpu backend unavailable"}
+    with jax.enable_x64(True), jax.default_device(dev):
+        _, n264 = solve64(None)
+        n264 = float(n264)
+        pp, _ = solve64(_cast64(jax.device_get(p32)))
+        pol = _flat64(jax.device_get(pp))
+        err = np.linalg.norm(_flat64(p32) - pol) / np.linalg.norm(pol)
+        cols = dict(
+            f64_final_cost=_g(n264),
+            f32_final_cost=_g(n2_32),
+            final_cost_ratio_f32_vs_f64=_g(float(n2_32) / n264),
+            param_rel_err_f32_vs_polish=_g(err))
+        if p32r is not None:
+            ppr, _ = solve64(_cast64(jax.device_get(p32r)))
+            polr = _flat64(jax.device_get(ppr))
+            errr = (np.linalg.norm(_flat64(p32r) - polr)
+                    / np.linalg.norm(polr))
+            cols.update(
+                final_cost_ratio_f32_refined_vs_f64=_g(float(n2_32r)
+                                                       / n264),
+                param_rel_err_f32_refined_vs_polish=_g(errr))
+    return cols
 
 
 def timeit(fn, *args):
@@ -95,13 +179,29 @@ def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
     ba = bundle_adjustment.make_synthetic(
         seed=0, nc=nc, n_points=n_points, block_size=bs, k_obs=k_obs,
         dtype=DTYPE)
+    ns = ba.newton_solver()
     f = jax.jit(lambda p0: solve_products(ba.products, p0, PRM,
-                                          newton_solver=ba.newton_solver()
-                                          ).norm2_x)
+                                          newton_solver=ns))
     dt, out = timeit(f, jnp.zeros(ba.nstate, DTYPE))
+    # refined leg: 2 compensated-residual refinement passes per GN solve
+    ns_r = dataclasses.replace(ns, refine_iters=2)
+    f_r = jax.jit(lambda p0: solve_products(ba.products, p0, PRM,
+                                            newton_solver=ns_r))
+    dt_r, out_r = timeit(f_r, jnp.zeros(ba.nstate, DTYPE))
+    def solve64(start):
+        ba64 = _cast64(ba)   # must run inside the x64 context
+        if start is None:
+            start = jnp.zeros(ba64.nstate, jnp.float64)
+        r = jax.jit(lambda p0: solve_products(
+            ba64.products, p0, TIGHT64,
+            newton_solver=ba64.newton_solver()))(start)
+        return r.p, r.norm2_x
+    acc = f64_accuracy_cols(solve64, out.p, out.norm2_x,
+                            out_r.p, out_r.norm2_x)
     emit("4-ba-schur", "solve_latency", dt * 1e3, "ms",
          nstate=ba.nstate, nmeas=ba.nmeasurements,
-         converged=bool(np.asarray(out) < 1e-3))
+         converged=bool(np.asarray(out.norm2_x) < 1e-3),
+         refined_ms=round(dt_r * 1e3, 3), **acc)
 
 
 def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
@@ -124,7 +224,8 @@ def config5_outlierness(nmeas=100000, nstate=64, feature_size=2):
 
 
 def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16,
-                        label="6-sparse-grid-mrf", with_dense=True):
+                        label="6-sparse-grid-mrf", with_dense=True,
+                        with_f64=True):
     """Large sparse single problem: RCM-ordered supernodal amalgamation vs
     the dense-JtJ path on the same instance. The supernodal block-sparse
     Cholesky is where sparsity starts beating the MXU's love of dense —
@@ -139,13 +240,28 @@ def config6_sparse_grid(width=32, height=32, b=8, amalgamate=16,
                             amalgamate=amalgamate)
     ns = sp_prob.default_newton_solver()
     f_sp = jax.jit(lambda p0: optimize(sp_prob, p0, PRM,
-                                       newton_solver=ns).norm2_x)
-    dt_sp, out = timeit(f_sp, jnp.zeros(m.nstate, DTYPE))
+                                       newton_solver=ns))
+    dt_sp, r_sp = timeit(f_sp, jnp.zeros(m.nstate, DTYPE))
+    out = r_sp.norm2_x
     extra = {}
+    if with_f64:
+        def solve64(start):
+            m64 = _cast64(m)
+            base64 = m64.problem(jtj="dense")
+            sp64 = SparseProblem(f=base64.f, structure=base64.structure,
+                                 jtj="sparse", ordering="rcm",
+                                 amalgamate=amalgamate)
+            if start is None:
+                start = jnp.zeros(m64.nstate, jnp.float64)
+            r = jax.jit(lambda p0: optimize(
+                sp64, p0, TIGHT64,
+                newton_solver=sp64.default_newton_solver()))(start)
+            return r.p, r.norm2_x
+        extra.update(f64_accuracy_cols(solve64, r_sp.p, out))
     if with_dense:
         f_d = jax.jit(lambda p0: optimize(base, p0, PRM).norm2_x)
         dt_d, _ = timeit(f_d, jnp.zeros(m.nstate, DTYPE))
-        extra = dict(dense_mode_ms=round(dt_d * 1e3, 2),
+        extra.update(dense_mode_ms=round(dt_d * 1e3, 2),
                      sparse_speedup_vs_dense=round(dt_d / dt_sp, 2))
     inner = ns.symbolic.inner
     emit(label, "solve_latency", dt_sp * 1e3, "ms",
@@ -163,16 +279,26 @@ def config7_pinhole_ba(ncam=32, npts=20000):
     p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
     f = jax.jit(lambda pc, pq: solve_products(
         ba.products, {"c": pc, "q": pq}, PRM,
-        newton_solver=ba.newton_solver()).norm2_x)
+        newton_solver=ba.newton_solver()))
     dt, out = timeit(f, p0["c"], p0["q"])
+    def solve64(start):
+        ba64 = _cast64(ba)
+        if start is None:
+            start = _cast64(p0)
+        r = jax.jit(lambda pc, pq: solve_products(
+            ba64.products, {"c": pc, "q": pq}, TIGHT64,
+            newton_solver=ba64.newton_solver()))(start["c"], start["q"])
+        return r.p, r.norm2_x
+    acc = f64_accuracy_cols(solve64, out.p, out.norm2_x)
     nobs_res = 2 * ba.nobs
     emit("7-pinhole-ba", "solve_latency", dt * 1e3, "ms",
          ncam=ncam, npts=npts, nobs=ba.nobs, nstate=ba.nstate,
-         converged=bool(np.asarray(out) < 1.0 * nobs_res))
+         converged=bool(np.asarray(out.norm2_x) < 1.0 * nobs_res), **acc)
 
 
 def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4,
-                                  label="7s-sparse-vis-ba"):
+                                  label="7s-sparse-vis-ba",
+                                  with_f64=True):
     """Large sparse-visibility bundle adjustment: each point seen by k_obs
     of the 128 cameras. The dense coupling W of SchurJtJ would be
     nc x npts x 3 f32 = 460 MB here and is never built — SparseWSchurJtJ
@@ -181,15 +307,38 @@ def config7s_sparse_visibility_ba(ncam=128, npts=50000, k_obs=4,
     dense-W path cannot reach on one chip."""
     ba = pinhole_ba.make_synthetic_sparse(seed=0, ncam=ncam, npts=npts,
                                           k_obs=k_obs, dtype=DTYPE)
+    ns = ba.newton_solver()
     p0 = ba.p0(jax.random.PRNGKey(2), jitter=0.02)
     f = jax.jit(lambda pc, pq: solve_products(
-        ba.products, {"c": pc, "q": pq}, PRM,
-        newton_solver=ba.newton_solver()).norm2_x)
+        ba.products, {"c": pc, "q": pq}, PRM, newton_solver=ns))
     dt, out = timeit(f, p0["c"], p0["q"])
+    acc = {}
+    if with_f64:
+        # refined leg: 2 compensated-residual refinement passes, with the
+        # static per-camera gather table for a fully compensated residual
+        ns_r = dataclasses.replace(
+            ns, refine_iters=2,
+            cam_gather=build_cam_gather(ba.cam_of, ncam))
+        f_r = jax.jit(lambda pc, pq: solve_products(
+            ba.products, {"c": pc, "q": pq}, PRM, newton_solver=ns_r))
+        dt_r, out_r = timeit(f_r, p0["c"], p0["q"])
+        def solve64(start):
+            ba64 = _cast64(ba)
+            if start is None:
+                start = _cast64(p0)
+            r = jax.jit(lambda pc, pq: solve_products(
+                ba64.products, {"c": pc, "q": pq}, TIGHT64,
+                newton_solver=ba64.newton_solver()))(start["c"],
+                                                     start["q"])
+            return r.p, r.norm2_x
+        acc = f64_accuracy_cols(solve64, out.p, out.norm2_x,
+                                out_r.p, out_r.norm2_x)
+        acc["refined_ms"] = round(dt_r * 1e3, 3)
     emit(label, "solve_latency", dt * 1e3, "ms",
          ncam=ncam, npts=npts, k_obs=k_obs, nobs=ba.nobs,
          nstate=ba.nstate,
-         converged=bool(np.asarray(out) < 1.0 * 2 * ba.nobs))
+         converged=bool(np.asarray(out.norm2_x) < 1.0 * 2 * ba.nobs),
+         **acc)
 
 
 def config7o_ba_outlierness(ncam=128, npts=50000, k_obs=4):
@@ -228,6 +377,35 @@ def config7o_ba_outlierness(ncam=128, npts=50000, k_obs=4):
     emit("7o-ba-outlierness", "pass_latency", dt * 1e3, "ms",
          nobs=ba.nobs, nstate=ba.nstate, obs_per_s=round(ba.nobs / dt),
          finite=bool(np.isfinite(np.asarray(out)).all()))
+
+
+def config9_batched_schur_ba(batch=64, ncam=4, npts=2048):
+    """Batched STRUCTURED solves — the fleet-calibration case: a batch of
+    independent pinhole-BA instances (same rig geometry, distinct
+    measurement noise and starts), each solved by Schur elimination,
+    vmapped into one program. Composes BASELINE configs 3 (batched) and 4
+    (structured JtJ): the per-instance factorization is batched 3x3 point
+    eliminations + one small dense reduced camera system, all vmapped."""
+    ba = pinhole_ba.make_synthetic(seed=0, ncam=ncam, npts=npts,
+                                   dtype=DTYPE)
+    ns = ba.newton_solver()
+    obs_b = ba.obs[None] + 0.5 * jax.random.normal(
+        jax.random.PRNGKey(8), (batch,) + ba.obs.shape, DTYPE)
+    p0s = jax.vmap(lambda k: ba.p0(k, jitter=0.02))(
+        jax.random.split(jax.random.PRNGKey(7), batch))
+
+    def solve_one(obs_i, pc0, pq0):
+        bai = ba._replace(obs=obs_i)
+        return solve_products(bai.products, {"c": pc0, "q": pq0}, PRM,
+                              newton_solver=ns).norm2_x
+
+    f = jax.jit(jax.vmap(solve_one))
+    dt, out = timeit(f, obs_b, p0s["c"], p0s["q"])
+    nobs_res = 2 * ba.nobs
+    conv = float(np.mean(np.asarray(out) < 1.0 * nobs_res))
+    emit("9-batched-schur-ba", "batched_solves_per_s", batch / dt,
+         "solves/s", batch=batch, ncam=ncam, npts=npts,
+         nstate=ba.nstate, converged_frac=round(conv, 4))
 
 
 def config8_batched_midsize(nstate=64, batch=512, meas_factor=4):
@@ -282,11 +460,13 @@ if __name__ == "__main__":
     config6_sparse_grid()
     # 4x the grid: dense JtJ would be 4.3 GB — sparse-only scale point
     config6_sparse_grid(width=64, height=64, label="6b-sparse-grid-64x64",
-                        with_dense=False)
+                        with_dense=False, with_f64=False)
     config7_pinhole_ba()
     config7s_sparse_visibility_ba()
     config7s_sparse_visibility_ba(ncam=256, npts=200000, k_obs=4,
-                                  label="7xl-sparse-vis-ba")
+                                  label="7xl-sparse-vis-ba",
+                                  with_f64=False)
     config7o_ba_outlierness()
     config8_batched_midsize(nstate=64, batch=512)
     config8_batched_midsize(nstate=128, batch=256)
+    config9_batched_schur_ba()
