@@ -175,6 +175,30 @@ def config3_batched(batch=10000):
          recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
 
 
+def config3f_batched_factored(batch=10000):
+    """Config 3's problem through the basis-factored sufficient-statistics
+    formulation (models/quadratic_surface.factored_products): per-attempt
+    work reads 14 f32 of Gram statistics instead of streaming the 100
+    measurements, with the cancelling combinations compensated in
+    double-f32. Same optimum, same recovery gate — the TPU-first
+    reformulation the reference's callback model cannot express."""
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    G_pair = sp.gram_pair(DTYPE)
+    stats = jax.vmap(sp.factored_statistics)(meas)
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    f = jax.jit(lambda q, s: batched_optimize_compacted(
+        lambda p, st: sp.factored_products(p, st, G_pair), q, PRM,
+        problem_data=s).p)
+    dt, out = timeit(f, p0s, stats)
+    err = np.abs(np.asarray(out) - sp.P_TRUE[None])
+    emit("3f-batched-factored", "batched_solves_per_s", batch / dt,
+         "solves/s", vs_baseline=round(batch / dt / 1e4, 2),
+         recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
+
+
 def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
     ba = bundle_adjustment.make_synthetic(
         seed=0, nc=nc, n_points=n_points, block_size=bs, k_obs=k_obs,
@@ -455,6 +479,7 @@ if __name__ == "__main__":
     config1_sparse()
     config2_dense()
     config3_batched()
+    config3f_batched_factored()
     config4_ba_schur()
     config5_outlierness()
     config6_sparse_grid()

@@ -213,6 +213,54 @@ def bench_e2e_roofline_config3(batch=8192):
          bound="HBM (carry+measurement round-trip per attempt)")
 
 
+def bench_e2e_roofline_config3f(batch=8192):
+    """End-to-end roofline for the FACTORED config-3 program
+    (quadratic_surface.factored_products): per-attempt traffic is the
+    solver carry plus 14 f32 of sufficient statistics — the measurement
+    stream is gone, so the bound is pure carry round-trip. Compare
+    against end_to_end_config3 to see what the reformulation buys and
+    how close the solver core itself runs to the carry bound."""
+    import libdogleg_tpu.models.quadratic_surface as sp
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+
+    dtype = jnp.float32
+    n = sp.NSTATE
+    prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    G_pair = sp.gram_pair(dtype)
+    stats = jax.vmap(sp.factored_statistics)(meas)
+
+    def run(q, s):
+        r = batched_optimize_compacted(
+            lambda p, st: sp.factored_products(p, st, G_pair), q, prm,
+            problem_data=s)
+        return r.p, r.n_attempts
+
+    _, n_att = jax.jit(run)(p0s, stats)
+    useful = int(np.sum(np.asarray(n_att)))
+    dt = measure_loop(lambda q, s: run(q, s), p0s, stats)
+
+    flops = (40 * n * n            # compensated 6x6 matvecs + JtJ forms
+             + n ** 3 // 3 + 3 * 2 * n * n + 40 * n)
+    carry_f32 = 3 * n + 1 + n * n + 3 * (n + 2) + 8
+    bytes_att = 2 * 4 * carry_f32 + 4 * (2 * n + 2)
+    mxu, hbm = peaks()
+    bound_att = max(bytes_att / (hbm * 1e9), flops / (mxu * 1e12))
+    emit("end_to_end_config3_factored", batch / dt, "solves/s",
+         batch=batch, useful_attempts=useful,
+         flops_per_attempt=flops, bytes_per_attempt=bytes_att,
+         bound_ns_per_attempt=round(bound_att * 1e9, 3),
+         measured_ns_per_attempt=round(dt / useful * 1e9, 2),
+         sol_frac=round(bound_att / (dt / useful), 4),
+         bound="HBM (solver carry round-trip only)")
+
+
 def bench_e2e_roofline_config8(batch=512, nstate=64, meas_factor=4):
     """End-to-end roofline for the mid-size batched config (config 8,
     n=64): same accounting as config 3. Here the per-attempt traffic is
@@ -320,4 +368,5 @@ if __name__ == "__main__":
     bench_blocked_cholesky()
     bench_sparse_cholesky()
     bench_e2e_roofline_config3()
+    bench_e2e_roofline_config3f()
     bench_e2e_roofline_config8()

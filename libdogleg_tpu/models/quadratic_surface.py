@@ -115,6 +115,119 @@ def make_sparse_problem(measurements: jnp.ndarray,
     return SparseProblem(f=f, structure=structure)
 
 
+# ---------------------------------------------------------------------------
+# Basis-factored sufficient-statistics formulation.
+#
+# The sample model is linear in a STATIC basis: model(p) = B @ coeffs(p)
+# with B = [x^2, y^2, xy, x, y, 1] fixed by the grid, so
+#     J          = B @ T(p),            T = d coeffs / dp  (6x6)
+#     JtJ        = T^T (B^T B) T        (B^T B = G precomputed once)
+#     Jt_x       = T^T (G c - B^T meas) (B^T meas = h precomputed per
+#                                        instance)
+#     norm2_x    = c.(G c - h) + (meas.meas - c.h)
+# The per-attempt evaluation therefore reads 14 f32 of sufficient
+# statistics instead of streaming all m measurements, and does O(n^2)
+# flops instead of O(m n^2) — the difference between an HBM-bound and a
+# carry-bound batched solve (see bench_kernels end_to_end rows). The
+# reference's callback model cannot express this (the callback always
+# walks the measurement vector, sample.c:130-237); it is a TPU-first
+# reformulation of the same mathematics.
+#
+# Numerics: G c and h carry ~1e7 magnitudes whose difference is the
+# O(1e-3..1) gradient — plain f32 would cancel to noise. G, h and
+# meas.meas are therefore held as double-f32 PAIRS and the cancelling
+# combinations run in compensated arithmetic (ops/compensated.py), making
+# the factored gradient MORE accurate than the general form's f32
+# per-measurement reduction. coeffs(p) is used at its stored-f32 value,
+# exactly as the general form rounds the same products.
+# ---------------------------------------------------------------------------
+
+def basis(gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
+    """The static (nmeas, 6) basis: model(p) = basis @ coeffs(p). Entries
+    are integers <= 100 on the sample grid — exact in f32."""
+    return jnp.stack([gx * gx, gy * gy, gx * gy, gx, gy,
+                      jnp.ones_like(gx)], axis=-1)
+
+
+def coeffs(p: jnp.ndarray) -> jnp.ndarray:
+    return jnp.stack([p[0] * p[1], p[1] * p[2], p[2], p[3], p[4], p[5]])
+
+
+def coeffs_jac(p: jnp.ndarray) -> jnp.ndarray:
+    """T[i, j] = d coeffs_i / d p_j."""
+    one = jnp.ones((), p.dtype)
+    T = jnp.zeros((NSTATE, NSTATE), p.dtype)
+    T = T.at[0, 0].set(p[1]).at[0, 1].set(p[0])
+    T = T.at[1, 1].set(p[2]).at[1, 2].set(p[1])
+    T = T.at[2, 2].set(one).at[3, 3].set(one)
+    T = T.at[4, 4].set(one).at[5, 5].set(one)
+    return T
+
+
+def factored_statistics(measurements: jnp.ndarray):
+    """Per-instance sufficient statistics as double-f32 pairs:
+    (h_hi, h_lo) = B^T meas and (n2m_hi, n2m_lo) = meas . meas."""
+    from libdogleg_tpu.ops import compensated as comp
+    gx, gy = make_grid(measurements.dtype)
+    Bt = jnp.swapaxes(basis(gx, gy), -1, -2)
+    hh, hl = comp.comp_matvec(Bt, measurements)
+    p, e = comp.two_prod(measurements, measurements)
+    nh, nl = comp.comp_reduce(p, e, axis=-1)
+    return hh, hl, nh, nl
+
+
+def gram_pair(dtype=jnp.float32):
+    """G = B^T B as a double-f32 pair (exact integer entries up to ~1e10
+    exceed f32's 24-bit integer range; computed in f64 numpy, split)."""
+    coords = GRID_MIN + GRID_DELTA * np.arange(GRID_WIDTH)
+    gx, gy = np.meshgrid(coords, coords, indexing="ij")
+    gx, gy = gx.ravel(), gy.ravel()
+    B = np.stack([gx * gx, gy * gy, gx * gy, gx, gy,
+                  np.ones_like(gx)], axis=-1)
+    G = B.T @ B
+    Ghi = G.astype(np.float32).astype(np.float64)
+    return (jnp.asarray(Ghi, dtype), jnp.asarray(G - Ghi, dtype))
+
+
+def factored_products(p: jnp.ndarray, stats, G_pair):
+    """Products from sufficient statistics (see module comment above).
+    stats = factored_statistics(meas); G_pair = gram_pair(dtype)."""
+    from libdogleg_tpu.ops import compensated as comp
+    from libdogleg_tpu.solver import Products
+    hh, hl, nh, nl = stats
+    Ghi, Glo = G_pair
+    c = coeffs(p)
+    T = coeffs_jac(p)
+    gh, gl = comp.comp_matvec_pair(Ghi, Glo, c)       # G c
+    dh, dl = comp.pair_add(gh, gl, -hh, -hl)          # g = G c - h
+    g = comp.collapse(dh, dl)
+    Jt_x = jnp.matmul(T.T, g, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=p.dtype)
+    JtJ = jnp.matmul(
+        T.T, jnp.matmul(Ghi + Glo, T,
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=p.dtype),
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=p.dtype)
+    # norm2 = c.g + (n2m - c.h), the second term compensated (it cancels
+    # ~1e8-magnitude pairs down to the O(1..10) residual floor)
+    wh, wl = comp.pair_dot_pair(c, hh, hl)            # c . h
+    uh, ul = comp.pair_add(nh, nl, -wh, -wl)
+    norm2 = jnp.dot(c, g) + comp.collapse(uh, ul)
+    return Products(norm2_x=norm2, Jt_x=Jt_x, JtJ=JtJ)
+
+
+def make_factored_problem(measurements: jnp.ndarray) -> ProductsProblem:
+    """The sufficient-statistics formulation as a drop-in problem: same
+    optimum as make_dense_problem / make_products_problem, per-attempt
+    cost independent of the measurement count."""
+    stats = factored_statistics(measurements)
+    G_pair = gram_pair(measurements.dtype)
+    return ProductsProblem(
+        f=lambda p: (lambda pr: (pr.norm2_x, pr.Jt_x, pr.JtJ))(
+            factored_products(p, stats, G_pair)))
+
+
 def make_products_problem(measurements: jnp.ndarray) -> ProductsProblem:
     """Products mode (reference optimizerCallback_dense_products,
     sample.c:165-237): the user reduces over measurements themselves."""

@@ -114,6 +114,26 @@ def comp_contract(A, v, reduce_axes, broadcast):
     return comp_reduce(p, e, axis=-1)
 
 
+def comp_matvec_pair(Ahi, Alo, u):
+    """(Ahi + Alo) @ u as a compensated pair, for matrices stored as
+    double-f32 pairs (e.g. Gram matrices whose exact entries exceed f32's
+    24-bit integers): exact products with the hi part, the lo-part
+    products join the error channel."""
+    p, e = two_prod(Ahi, u[None, :])
+    return comp_reduce(p, e + Alo * u[None, :], axis=-1)
+
+
+def pair_dot_pair(u, vhi, vlo):
+    """u . (vhi + vlo) as a compensated pair (u plain f32)."""
+    p, e = two_prod(u, vhi)
+    return comp_reduce(p, e + u * vlo, axis=-1)
+
+
+def collapse(hi, lo):
+    """The f32 value closest to hi + lo."""
+    return hi + lo
+
+
 def residual(b, hi, lo):
     """fl(b - (hi + lo)) accurate to ~eps of the residual's own size:
     the collapsed double-f32 value of b - hi - lo."""

@@ -9,9 +9,13 @@ from libdogleg_tpu.models.quadratic_surface import (  # noqa: F401
     NMEAS,
     NSTATE,
     P_TRUE,
+    factored_products,
+    factored_statistics,
+    gram_pair,
     initial_state,
     jacobian,
     make_dense_problem,
+    make_factored_problem,
     make_grid,
     make_products_problem,
     make_residual_problem,
