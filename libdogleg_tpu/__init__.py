@@ -36,6 +36,7 @@ from libdogleg_tpu.ops.newton import (
 )
 from libdogleg_tpu.problems import (
     DenseProblem,
+    FactoredBasisProblem,
     ProductsProblem,
     ResidualProblem,
     SparseProblem,
@@ -60,6 +61,7 @@ __all__ = [
     "SchurJtJ",
     "SparseNewtonSolver",
     "DenseProblem",
+    "FactoredBasisProblem",
     "SparseProblem",
     "ProductsProblem",
     "ResidualProblem",

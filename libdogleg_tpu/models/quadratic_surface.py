@@ -25,7 +25,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from libdogleg_tpu.problems import (DenseProblem, ProductsProblem,
+from libdogleg_tpu.problems import (DenseProblem, FactoredBasisProblem,
+                                    ProductsProblem,
                                     ResidualProblem, SparseProblem)
 from libdogleg_tpu.sparsity import dense_structure
 
@@ -167,13 +168,8 @@ def coeffs_jac(p: jnp.ndarray) -> jnp.ndarray:
 def factored_statistics(measurements: jnp.ndarray):
     """Per-instance sufficient statistics as double-f32 pairs:
     (h_hi, h_lo) = B^T meas and (n2m_hi, n2m_lo) = meas . meas."""
-    from libdogleg_tpu.ops import compensated as comp
     gx, gy = make_grid(measurements.dtype)
-    Bt = jnp.swapaxes(basis(gx, gy), -1, -2)
-    hh, hl = comp.comp_matvec(Bt, measurements)
-    p, e = comp.two_prod(measurements, measurements)
-    nh, nl = comp.comp_reduce(p, e, axis=-1)
-    return hh, hl, nh, nl
+    return FactoredBasisProblem.statistics(basis(gx, gy), measurements)
 
 
 def gram_pair(dtype=jnp.float32):
@@ -184,48 +180,26 @@ def gram_pair(dtype=jnp.float32):
     gx, gy = gx.ravel(), gy.ravel()
     B = np.stack([gx * gx, gy * gy, gx * gy, gx, gy,
                   np.ones_like(gx)], axis=-1)
-    G = B.T @ B
-    Ghi = G.astype(np.float32).astype(np.float64)
-    return (jnp.asarray(Ghi, dtype), jnp.asarray(G - Ghi, dtype))
+    return FactoredBasisProblem.gram(B, dtype)
 
 
 def factored_products(p: jnp.ndarray, stats, G_pair):
     """Products from sufficient statistics (see module comment above).
     stats = factored_statistics(meas); G_pair = gram_pair(dtype)."""
-    from libdogleg_tpu.ops import compensated as comp
-    from libdogleg_tpu.solver import Products
-    hh, hl, nh, nl = stats
-    Ghi, Glo = G_pair
-    c = coeffs(p)
-    T = coeffs_jac(p)
-    gh, gl = comp.comp_matvec_pair(Ghi, Glo, c)       # G c
-    dh, dl = comp.pair_add(gh, gl, -hh, -hl)          # g = G c - h
-    g = comp.collapse(dh, dl)
-    Jt_x = jnp.matmul(T.T, g, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=p.dtype)
-    JtJ = jnp.matmul(
-        T.T, jnp.matmul(Ghi + Glo, T,
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=p.dtype),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=p.dtype)
-    # norm2 = c.g + (n2m - c.h), the second term compensated (it cancels
-    # ~1e8-magnitude pairs down to the O(1..10) residual floor)
-    wh, wl = comp.pair_dot_pair(c, hh, hl)            # c . h
-    uh, ul = comp.pair_add(nh, nl, -wh, -wl)
-    norm2 = jnp.dot(c, g) + comp.collapse(uh, ul)
-    return Products(norm2_x=norm2, Jt_x=Jt_x, JtJ=JtJ)
+    return FactoredBasisProblem(coeffs=coeffs, G_pair=G_pair,
+                                stats=stats,
+                                coeffs_jac=coeffs_jac).products(p)
 
 
-def make_factored_problem(measurements: jnp.ndarray) -> ProductsProblem:
+def make_factored_problem(measurements: jnp.ndarray) -> FactoredBasisProblem:
     """The sufficient-statistics formulation as a drop-in problem: same
     optimum as make_dense_problem / make_products_problem, per-attempt
     cost independent of the measurement count."""
-    stats = factored_statistics(measurements)
-    G_pair = gram_pair(measurements.dtype)
-    return ProductsProblem(
-        f=lambda p: (lambda pr: (pr.norm2_x, pr.Jt_x, pr.JtJ))(
-            factored_products(p, stats, G_pair)))
+    return FactoredBasisProblem(
+        coeffs=coeffs,
+        G_pair=gram_pair(measurements.dtype),
+        stats=factored_statistics(measurements),
+        coeffs_jac=coeffs_jac)
 
 
 def make_products_problem(measurements: jnp.ndarray) -> ProductsProblem:

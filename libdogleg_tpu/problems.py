@@ -154,6 +154,88 @@ class ResidualProblem:
         return jax.jacfwd(self.f)(p)
 
 
+@dataclasses.dataclass(frozen=True)
+class FactoredBasisProblem:
+    """Separable (basis-factored) residual: x(p) = B @ coeffs(p) - meas
+    with B a STATIC (nmeas, nbasis) basis and coeffs(p) the (usually much
+    smaller) nonlinear core. Then with G = B^T B and h = B^T meas
+    precomputed,
+
+        J     = B T,  T = d coeffs / dp
+        JtJ   = T^T G T
+        Jt_x  = T^T (G c - h)
+        norm2 = c.(G c - h) + (meas.meas - c.h)
+
+    so the per-attempt evaluation never touches the measurement axis: it
+    reads 2*nbasis + 2 floats of sufficient statistics and does
+    O(nbasis^2) flops. On a TPU this turns a measurement-stream-bound
+    solve into a carry-bound one (bench_kernels end_to_end_config3 vs
+    _config3_factored). The reference's callback contract cannot express
+    this — its callbacks always walk the measurement vector
+    (reference dogleg.h:24-45) — it is a TPU-first reformulation of the
+    same mathematics, exact up to float association.
+
+    Numerics: G c and h are large and cancel down to the gradient scale,
+    far below f32 resolution, so G, h and meas.meas are held as
+    double-f32 pairs and the cancelling combinations run in compensated
+    arithmetic (ops/compensated.py). The factored f32 gradient is
+    thereby MORE accurate than a per-measurement f32 reduction
+    (tests/test_factored.py).
+
+    coeffs_jac defaults to autodiff (jacfwd of coeffs); pass a closed
+    form when you have one. Construct per-instance statistics with
+    FactoredBasisProblem.statistics(B, meas) (vmap-able for batches) and
+    the static Gram pair with FactoredBasisProblem.gram(B64, dtype) —
+    compute B in float64 there, Gram entries routinely exceed f32's
+    exact-integer range."""
+    coeffs: Callable[[jnp.ndarray], jnp.ndarray]
+    G_pair: Tuple[jnp.ndarray, jnp.ndarray]
+    stats: Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]
+    coeffs_jac: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None
+
+    @staticmethod
+    def gram(B64, dtype) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """G = B^T B as a double-f32 (or degenerate f64) pair; B64 must
+        be float64 (numpy or jax) so the split captures the low bits."""
+        import numpy as np
+        B64 = np.asarray(B64, np.float64)
+        G = B64.T @ B64
+        hi = G.astype(np.float32).astype(np.float64)
+        return (jnp.asarray(hi, dtype), jnp.asarray(G - hi, dtype))
+
+    @staticmethod
+    def statistics(B, measurements):
+        """Per-instance sufficient statistics as compensated pairs:
+        (h_hi, h_lo, n2m_hi, n2m_lo) with h = B^T meas, n2m = meas.meas.
+        vmap over measurements for a batch."""
+        from libdogleg_tpu.ops import compensated as comp
+        hh, hl = comp.comp_matvec(jnp.swapaxes(B, -1, -2), measurements)
+        p, e = comp.two_prod(measurements, measurements)
+        nh, nl = comp.comp_reduce(p, e, axis=-1)
+        return hh, hl, nh, nl
+
+    def products(self, p: jnp.ndarray) -> Products:
+        from libdogleg_tpu.ops import compensated as comp
+        hh, hl, nh, nl = self.stats
+        Ghi, Glo = self.G_pair
+        c = self.coeffs(p)
+        T = (self.coeffs_jac or jax.jacfwd(self.coeffs))(p)
+        gh, gl = comp.comp_matvec_pair(Ghi, Glo, c)      # G c
+        dh, dl = comp.pair_add(gh, gl, -hh, -hl)         # g = G c - h
+        g = comp.collapse(dh, dl)
+        hiP = jax.lax.Precision.HIGHEST
+        Jt_x = jnp.matmul(T.T, g, precision=hiP,
+                          preferred_element_type=p.dtype)
+        JtJ = jnp.matmul(T.T,
+                         jnp.matmul(Ghi + Glo, T, precision=hiP,
+                                    preferred_element_type=p.dtype),
+                         precision=hiP, preferred_element_type=p.dtype)
+        wh, wl = comp.pair_dot_pair(c, hh, hl)           # c . h
+        uh, ul = comp.pair_add(nh, nl, -wh, -wl)         # n2m - c.h
+        norm2 = jnp.dot(c, g) + comp.collapse(uh, ul)
+        return Products(norm2_x=norm2, Jt_x=Jt_x, JtJ=JtJ)
+
+
 def optimize(problem,
              p0: jnp.ndarray,
              parameters: Optional[DoglegParameters] = None,

@@ -93,6 +93,32 @@ def test_factored_solve_end_to_end():
                                rtol=1e-9)
 
 
+def test_generic_adapter_autodiff_jac():
+    """FactoredBasisProblem with the DEFAULT autodiff coefficient
+    Jacobian (no closed form supplied) matches the closed-form path
+    exactly — the adapter is usable on any separable model with just
+    `coeffs` + the basis."""
+    from libdogleg_tpu.problems import FactoredBasisProblem
+    meas, p0 = _instance()
+    gx, gy = make_grid_np()
+    B = np.stack([gx * gx, gy * gy, gx * gy, gx, gy,
+                  np.ones_like(gx)], -1)
+    prob = FactoredBasisProblem(
+        coeffs=sp.coeffs,
+        G_pair=FactoredBasisProblem.gram(B, meas.dtype),
+        stats=FactoredBasisProblem.statistics(jnp.asarray(B, meas.dtype),
+                                              meas))
+    pr_auto = prob.products(p0)
+    pr_closed = sp.make_factored_problem(meas).products(p0)
+    np.testing.assert_allclose(np.asarray(pr_auto.Jt_x),
+                               np.asarray(pr_closed.Jt_x), rtol=1e-13)
+    np.testing.assert_allclose(np.asarray(pr_auto.JtJ),
+                               np.asarray(pr_closed.JtJ), rtol=1e-13)
+    r = jax.jit(lambda q: dl.optimize(
+        prob, q, dl.DoglegParameters(max_iterations=8)))(p0)
+    assert np.max(np.abs(np.asarray(r.p) - sp.P_TRUE)) < 5e-2
+
+
 def test_factored_batched_f32():
     """The batched fleet shape (the headline config 3 protocol) on the
     factored formulation, f32: recovery matches the general form's."""
