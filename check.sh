@@ -4,7 +4,7 @@
 # plus the autodiff mode the reference doesn't have. f64 parity math runs on
 # the CPU backend.
 set -e
-for mode in sparse dense dense-products-packed-upper dense-products-unpacked residual; do
+for mode in sparse dense dense-products-packed-upper dense-products-unpacked residual factored; do
     echo "== $mode =="
     python -m libdogleg_tpu.sample --check --platform cpu "$mode"
 done

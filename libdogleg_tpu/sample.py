@@ -25,7 +25,7 @@ RED = "\x1b[31m"
 RESET = "\x1b[0m"
 
 MODES = ("sparse", "dense", "dense-products-packed-upper",
-         "dense-products-unpacked", "residual")
+         "dense-products-unpacked", "residual", "factored")
 
 
 def main(argv=None) -> int:
@@ -75,6 +75,10 @@ def main(argv=None) -> int:
         problem = sp.make_dense_problem(meas)
     elif args.mode == "residual":
         problem = sp.make_residual_problem(meas)
+    elif args.mode == "factored":
+        # sufficient-statistics formulation (FactoredBasisProblem): same
+        # optimum, per-attempt cost independent of the measurement count
+        problem = sp.make_factored_problem(meas)
     else:
         # Exercise the packed-triangle API layouts end to end: the user
         # callback produces packed JtJ; the adapter expands it
