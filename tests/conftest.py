@@ -22,3 +22,23 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+
+# The full suite compiles a few hundred XLA CPU programs in one process;
+# letting the compiled-executable caches accumulate across all modules
+# has produced flaky segfaults INSIDE backend_compile_and_load near the
+# end of the run (observed at different tests on different runs — an
+# accumulation crash, not a per-program one: either half of the suite
+# alone is green, only the union crashes). Dropping the caches between
+# modules caps the in-process compiler state; each module recompiles its
+# own programs, which it mostly would anyway.
+import gc  # noqa: E402
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    yield
+    jax.clear_caches()
+    gc.collect()

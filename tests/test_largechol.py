@@ -17,10 +17,16 @@ def _spd(n, rng, batch=()):
     return A @ np.swapaxes(A, -1, -2) + n * np.eye(n)
 
 
-@pytest.mark.parametrize("n", [192, 320, 512, 1040])
+@pytest.mark.parametrize("n", [192, 320, 528])
 def test_large_cholesky_matches_lax(n):
     """Parity with lax.linalg.cholesky in f64, incl. non-multiples of the
-    256 panel (320 = 256+64, 1040 = 4x256+16)."""
+    256 panel (320 = 256+64, 528 = 2x256+16). Sizes kept moderate: each
+    instance is a fresh large unrolled-outer-loop program, and the CPU
+    test process compiles ~200 programs across the suite — n=1040 here
+    pushed the in-process XLA CPU compiler into a flaky segfault on full
+    suite runs (crashes in backend_compile_and_load only when the whole
+    suite's programs precede it; either half of the suite alone is
+    fine)."""
     rng = np.random.default_rng(0)
     A = jnp.asarray(_spd(n, rng))
     L, ok = jax.jit(large_cholesky)(A)
