@@ -33,8 +33,37 @@ BATCH = 8192
 BASELINE_SOLVES_PER_S = 1.0e4
 
 
+def _backend_watchdog(seconds=240):
+    """Abort with an error JSON line if backend init hangs. The tunneled
+    TPU's client retries a dead tunnel in an unbounded sleep loop inside
+    C code (observed: hours) — a signal-based alarm can't preempt that
+    (Python handlers only run between bytecodes), so a daemon thread
+    with os._exit does. Returns an Event to set once init succeeded."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def fire():
+        if not done.wait(seconds):
+            print(json.dumps({"metric": "batched_dogleg_solves_per_s",
+                              "value": 0.0, "unit": "solves/s",
+                              "vs_baseline": 0.0,
+                              "error": f"backend init timed out"
+                                       f" ({seconds}s); TPU tunnel"
+                                       " unavailable"}))
+            sys.stdout.flush()
+            os._exit(3)
+
+    threading.Thread(target=fire, daemon=True).start()
+    return done
+
+
 def main():
     dtype = jnp.float32  # TPU-native precision; f64 is CPU-parity mode
+    ready = _backend_watchdog()
+    jax.devices()        # force backend init under the watchdog
+    ready.set()
     gx, gy = sp.make_grid(dtype)
 
     # f32-appropriate thresholds (the reference's 1e-8 C-double thresholds
