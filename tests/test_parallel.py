@@ -373,3 +373,33 @@ def test_sparse_visibility_ba_point_sharded():
     assert "pts" in str(r.p["q"].sharding)
     txt = f.lower(p0_s).compile().as_text()
     assert "all-reduce" in txt
+
+
+def test_batched_layout_minor_exact():
+    """layout="minor" (batch as the minor dim inside the loop — the
+    TPU tiling-friendly carry layout) is decision-identical to the
+    default leading layout; the public interface stays batch-leading."""
+    batch = 64
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters(max_iterations=8)
+    r0 = batched_optimize(products, p0s, prm, problem_data=meas)
+    r1 = batched_optimize(products, p0s, prm, problem_data=meas,
+                          layout="minor")
+    np.testing.assert_array_equal(np.asarray(r0.step_count),
+                                  np.asarray(r1.step_count))
+    np.testing.assert_array_equal(np.asarray(r0.reason),
+                                  np.asarray(r1.reason))
+    np.testing.assert_allclose(np.asarray(r0.p), np.asarray(r1.p),
+                               rtol=1e-12, atol=1e-13)
+    assert r1.p.shape == (batch, sp.NSTATE)
