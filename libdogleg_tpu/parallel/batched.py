@@ -150,7 +150,8 @@ def batched_optimize_compacted(products_fn,
                                problem_data: Any = None,
                                phase1_attempts: Optional[int] = None,
                                compact_capacity: Optional[int] = None,
-                               newton_solver=None):
+                               newton_solver=None,
+                               layout: str = "leading"):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
@@ -183,6 +184,11 @@ def batched_optimize_compacted(products_fn,
     exact and identical to the unsharded form (tested on the 8-device
     mesh); the adaptive phase-1 stopping reduction is a global psum.
 
+    layout="minor" runs the whole pipeline with the batch as the minor
+    dimension inside the jitted region (see batched_optimize.layout);
+    unsupported together with mesh= (the sharding specs assume a leading
+    batch axis).
+
     Returns a SolveResult with the leading batch axis, identical to
     batched_optimize.
     """
@@ -193,13 +199,31 @@ def batched_optimize_compacted(products_fn,
     cap = compact_capacity or max(batch // 16, 1)
     if newton_solver is None:
         newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
+    minor = layout == "minor"
+    if minor and mesh is not None:
+        raise NotImplementedError(
+            "layout='minor' with mesh= is not supported; the sharding "
+            "specs assume a leading batch axis")
 
     def products_of(data):
         if problem_data is None:
             return products_fn
         return lambda p: products_fn(p, data)
 
+    if minor:
+        bvmap = lambda f: jax.vmap(f, in_axes=-1, out_axes=-1)
+        gather = lambda a, idx: a[..., idx]
+        scatter = lambda full, idx, part: full.at[..., idx].set(part)
+    else:
+        bvmap = jax.vmap
+        gather = lambda a, idx: a[idx]
+        scatter = lambda full, idx, part: full.at[idx].set(part)
+
     def run(p0s, data):
+        if minor:
+            p0s, data = jax.tree_util.tree_map(
+                lambda a: jnp.moveaxis(a, 0, -1), (p0s, data))
+
         def init_one(p0, d):
             return init_solver_state(products_of(d), p0, prm)
 
@@ -207,16 +231,16 @@ def batched_optimize_compacted(products_fn,
             return run_solver(products_of(d), st, prm, max_new_attempts=k,
                               newton_solver=newton_solver)
 
-        st = jax.vmap(init_one)(p0s, data)
+        st = bvmap(init_one)(p0s, data)
         if phase1_attempts is not None:
-            st = jax.vmap(lambda s, d: seg_one(s, d, phase1_attempts))(
+            st = bvmap(lambda s, d: seg_one(s, d, phase1_attempts))(
                 st, data)
         else:
             # adaptive: stop full-width work exactly when the stragglers
             # fit the compact buffer (or everyone terminated)
             st = jax.lax.while_loop(
                 lambda s: jnp.sum(~s.done) > cap,
-                lambda s: jax.vmap(lambda si, d: seg_one(si, d, 1))(s, data),
+                lambda s: bvmap(lambda si, d: seg_one(si, d, 1))(s, data),
                 st)
 
         # compact the stragglers (duplicate fill indices are harmless:
@@ -230,20 +254,25 @@ def batched_optimize_compacted(products_fn,
             # device
             shard = NamedSharding(mesh, P(axis_name))
             take = lambda x: jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(a[idx], shard),
-                x)
+                lambda a: jax.lax.with_sharding_constraint(
+                    gather(a, idx), shard), x)
         else:
-            take = lambda x: jax.tree_util.tree_map(lambda a: a[idx], x)
-        sub = jax.vmap(lambda s, d: run_solver(products_of(d), s, prm,
-                                               newton_solver=newton_solver))(
+            take = lambda x: jax.tree_util.tree_map(
+                lambda a: gather(a, idx), x)
+        sub = bvmap(lambda s, d: run_solver(products_of(d), s, prm,
+                                            newton_solver=newton_solver))(
             take(st), take(data))
         st = jax.tree_util.tree_map(
-            lambda full, part: full.at[idx].set(part), st, sub)
+            lambda full, part: scatter(full, idx, part), st, sub)
 
         # safety net: finishes any element the capacity guess missed;
         # otherwise a single (false) loop-condition check per element
-        st = jax.vmap(lambda s, d: seg_one(s, d, None))(st, data)
-        return result_from_state(st)
+        st = bvmap(lambda s, d: seg_one(s, d, None))(st, data)
+        res = result_from_state(st)
+        if minor:
+            res = jax.tree_util.tree_map(
+                lambda a: jnp.moveaxis(a, -1, 0), res)
+        return res
 
     if problem_data is None:
         problem_data = jnp.zeros((batch, 0))  # dummy; products_of ignores it

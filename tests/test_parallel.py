@@ -403,3 +403,33 @@ def test_batched_layout_minor_exact():
     np.testing.assert_allclose(np.asarray(r0.p), np.asarray(r1.p),
                                rtol=1e-12, atol=1e-13)
     assert r1.p.shape == (batch, sp.NSTATE)
+
+
+def test_compacted_layout_minor_exact():
+    """Compaction pipeline under layout="minor": identical decisions and
+    results to the leading layout, including the straggler gather/scatter
+    on the minor axis."""
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    batch = 96
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters(max_iterations=8)
+    r0 = batched_optimize_compacted(products, p0s, prm, problem_data=meas)
+    r1 = batched_optimize_compacted(products, p0s, prm, problem_data=meas,
+                                    layout="minor")
+    np.testing.assert_array_equal(np.asarray(r0.step_count),
+                                  np.asarray(r1.step_count))
+    np.testing.assert_array_equal(np.asarray(r0.reason),
+                                  np.asarray(r1.reason))
+    np.testing.assert_allclose(np.asarray(r0.p), np.asarray(r1.p),
+                               rtol=1e-12, atol=1e-13)
