@@ -119,6 +119,46 @@ def batch_minor():
                       "ns_per_attempt": dt / useful * 1e9}))
 
 
+def headline_minor():
+    products, p0s, meas = make_inputs()
+
+    def run(q, m):
+        r = batched_optimize_compacted(products, q, PRM, problem_data=m,
+                                       layout="minor")
+        return r.p, r.n_attempts
+
+    f = jax.jit(run)
+    _, na = f(p0s, meas)
+    useful = int(np.sum(np.asarray(na)))
+    dt = measure_loop(lambda q, m: run(q, m), p0s, meas)
+    print(json.dumps({"exp": "headline_minor", "solves_per_s": BATCH / dt,
+                      "useful_attempts": useful,
+                      "ns_per_attempt": dt / useful * 1e9}))
+
+
+def factored_minor():
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), BATCH))
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(0), BATCH))
+    G_pair = sp.gram_pair(DTYPE)
+    stats = jax.vmap(sp.factored_statistics)(meas)
+
+    def run(q, s):
+        r = batched_optimize_compacted(
+            lambda p, st: sp.factored_products(p, st, G_pair), q, PRM,
+            problem_data=s, layout="minor")
+        return r.p, r.n_attempts
+
+    f = jax.jit(run)
+    _, na = f(p0s, stats)
+    useful = int(np.sum(np.asarray(na)))
+    dt = measure_loop(lambda q, s: run(q, s), p0s, stats)
+    print(json.dumps({"exp": "factored_minor", "solves_per_s": BATCH / dt,
+                      "useful_attempts": useful,
+                      "ns_per_attempt": dt / useful * 1e9}))
+
+
 def factored():
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
         jax.random.split(jax.random.PRNGKey(1), BATCH))
@@ -146,7 +186,8 @@ if __name__ == "__main__":
     import sys
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     fns = dict(headline=headline, plain=plain_uncompacted,
-               batch_minor=batch_minor, factored=factored)
+               batch_minor=batch_minor, headline_minor=headline_minor,
+               factored=factored, factored_minor=factored_minor)
     for name, fn in fns.items():
         if which in (name, "all"):
             fn()
