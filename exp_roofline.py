@@ -22,7 +22,7 @@ from libdogleg_tpu.parallel.batched import (batched_optimize,
 from libdogleg_tpu.solver import Products
 from libdogleg_tpu.utils.benchtime import measure_loop
 
-BATCH = 8192
+BATCH = int(__import__("os").environ.get("EXP_BATCH", "8192"))
 DTYPE = jnp.float32
 PRM = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
                        update_threshold=1e-5, trustregion_threshold=1e-5)
