@@ -86,33 +86,46 @@ def main():
     # Exact — a final full-batch pass covers any capacity miss.
     from libdogleg_tpu.parallel.batched import batched_optimize_compacted
 
-    def solve_one_batch(p0s, meas_batch):
-        # auto-tuned defaults: adaptive phase 1 + batch/16 capacity
-        # (recovers the hand-tuned phase1_attempts=11 headline, see README)
-        r = batched_optimize_compacted(products, p0s, prm,
-                                       problem_data=meas_batch)
-        return r.p, r.step_count.astype(jnp.float32)
+    def solver_for(layout):
+        def solve_one_batch(p0s, meas_batch):
+            # auto-tuned defaults: adaptive phase 1 + batch/16 capacity
+            # (recovers the hand-tuned phase1_attempts=11 headline, see
+            # README); layout self-selected below (docs/ROOFLINE.md)
+            r = batched_optimize_compacted(products, p0s, prm,
+                                           problem_data=meas_batch,
+                                           layout=layout)
+            return r.p, r.step_count.astype(jnp.float32)
+        return solve_one_batch
 
     keys = jax.random.split(jax.random.PRNGKey(0), BATCH)
     meas_batch = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
         jax.random.split(jax.random.PRNGKey(1), BATCH))
 
-    # Warmup / compile + correctness gate ON THE TIMED PROGRAM: a
+    # Warmup / compile + correctness gate ON THE TIMED PROGRAMS: a
     # regression in the compaction path must fail the gate, not just a
-    # separate CPU test (advisor round-1 finding).
-    p_sol, steps = jax.block_until_ready(solve_one_batch(p0s, meas_batch))
-    err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
-    frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
-    if frac_ok < 0.99:
-        print(json.dumps({"metric": "batched_dogleg_solves_per_s",
-                          "value": 0.0, "unit": "solves/s",
-                          "vs_baseline": 0.0,
-                          "error": f"correctness gate failed: {frac_ok:.3f}"}))
-        sys.exit(1)
-
-    dt = measure_loop(lambda q, m: solve_one_batch(q, m),
-                      p0s, meas_batch)
+    # separate CPU test (advisor round-1 finding). Both carry layouts are
+    # measured; the reported headline is the faster one.
+    best = None
+    for layout in ("leading", "minor"):
+        solve_one_batch = solver_for(layout)
+        p_sol, steps = jax.block_until_ready(
+            solve_one_batch(p0s, meas_batch))
+        err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
+        frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
+        if frac_ok < 0.99:
+            print(json.dumps({"metric": "batched_dogleg_solves_per_s",
+                              "value": 0.0, "unit": "solves/s",
+                              "vs_baseline": 0.0,
+                              "error": f"correctness gate failed"
+                                       f" ({layout}): {frac_ok:.3f}"}))
+            sys.exit(1)
+        dt_l = measure_loop(lambda q, m: solve_one_batch(q, m),
+                            p0s, meas_batch)
+        print(f"# layout={layout} dt={dt_l*1e3:.1f}ms", file=sys.stderr)
+        if best is None or dt_l < best[0]:
+            best = (dt_l, layout, steps, frac_ok)
+    dt, chosen_layout, steps, frac_ok = best
 
     solves_per_s = BATCH / dt
     print(json.dumps({
@@ -123,6 +136,7 @@ def main():
     }))
     print(f"# devices={jax.device_count()} backend={jax.default_backend()} "
           f"batch={BATCH} dt_per_batch={dt*1e3:.1f}ms "
+          f"layout={chosen_layout} "
           f"mean_steps={float(np.mean(np.asarray(steps))):.2f} "
           f"recovered={frac_ok:.4f}", file=sys.stderr)
 

@@ -166,12 +166,21 @@ def config3_batched(batch=10000):
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
         jax.random.split(jax.random.PRNGKey(1), batch))
     from libdogleg_tpu.parallel.batched import batched_optimize_compacted
-    f = jax.jit(lambda p0s, m: batched_optimize_compacted(
-        products, p0s, PRM, problem_data=m).p)  # auto-tuned compaction
-    dt, out = timeit(f, p0s, meas)
+    # measure both carry layouts and report the winner (docs/ROOFLINE.md:
+    # batch-minor collapses the TPU tile padding of small-state carries)
+    results = {}
+    for layout in ("leading", "minor"):
+        f = jax.jit(lambda p0s, m: batched_optimize_compacted(
+            products, p0s, PRM, problem_data=m, layout=layout).p)
+        dt, out = timeit(f, p0s, meas)
+        results[layout] = (dt, out)
+    layout = min(results, key=lambda k: results[k][0])
+    dt, out = results[layout]
+    alt = max(results, key=lambda k: results[k][0])
     err = np.abs(np.asarray(out) - sp.P_TRUE[None])
     emit("3-batched-10k", "batched_solves_per_s", batch / dt, "solves/s",
-         vs_baseline=round(batch / dt / 1e4, 2),
+         vs_baseline=round(batch / dt / 1e4, 2), layout=layout,
+         alt_layout_solves_per_s=round(batch / results[alt][0], 1),
          recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
 
 
@@ -189,13 +198,21 @@ def config3f_batched_factored(batch=10000):
     G_pair = sp.gram_pair(DTYPE)
     stats = jax.vmap(sp.factored_statistics)(meas)
     from libdogleg_tpu.parallel.batched import batched_optimize_compacted
-    f = jax.jit(lambda q, s: batched_optimize_compacted(
-        lambda p, st: sp.factored_products(p, st, G_pair), q, PRM,
-        problem_data=s).p)
-    dt, out = timeit(f, p0s, stats)
+    results = {}
+    for layout in ("leading", "minor"):
+        f = jax.jit(lambda q, s: batched_optimize_compacted(
+            lambda p, st: sp.factored_products(p, st, G_pair), q, PRM,
+            problem_data=s, layout=layout).p)
+        dt, out = timeit(f, p0s, stats)
+        results[layout] = (dt, out)
+    layout = min(results, key=lambda k: results[k][0])
+    dt, out = results[layout]
+    alt = max(results, key=lambda k: results[k][0])
     err = np.abs(np.asarray(out) - sp.P_TRUE[None])
     emit("3f-batched-factored", "batched_solves_per_s", batch / dt,
          "solves/s", vs_baseline=round(batch / dt / 1e4, 2),
+         layout=layout,
+         alt_layout_solves_per_s=round(batch / results[alt][0], 1),
          recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
 
 
