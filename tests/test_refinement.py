@@ -265,3 +265,69 @@ def test_sparsew_refinement(with_gather):
     assert e2 < e0, (e0, e2)
     if with_gather:
         assert e2 < max(e0 * 1e-1, 5e-7), (e0, e2)
+
+
+def test_sparsew_refinement_masked_visibility():
+    """cam_gather composed with VARIABLE visibility (obs_mask): masked
+    slots carry exactly-zero Wv blocks, so the static gather table built
+    over all np*k_obs slots gathers exact zeros and the compensated
+    camera residual stays exact — refinement improves as in the
+    fully-visible case."""
+    import dataclasses as dc
+
+    from libdogleg_tpu.models import pinhole_ba
+    from libdogleg_tpu.ops.newton import build_cam_gather
+
+    ba = pinhole_ba.make_synthetic_sparse(seed=2, ncam=6, npts=80,
+                                          k_obs=3)
+    rng = np.random.default_rng(0)
+    mask = (rng.random((ba.npts, ba.k_obs)) > 0.25).astype(np.float64)
+    mask[:, 0] = 1.0                       # every point keeps >=1 obs
+    ba = ba._replace(obs_mask=jnp.asarray(mask))
+    p0 = ba.p0(jax.random.PRNGKey(0), jitter=0.02)
+    pr = ba.products(p0)
+    JtJ = pr.JtJ._replace(U=pr.JtJ.U.astype(jnp.float32),
+                          Wv=pr.JtJ.Wv.astype(jnp.float32),
+                          V=pr.JtJ.V.astype(jnp.float32))
+    rhs = {"c": pr.Jt_x["c"].astype(jnp.float32),
+           "q": pr.Jt_x["q"].astype(jnp.float32)}
+    lam = jnp.asarray(0.01, jnp.float32)
+
+    nc = ba.ncam * 6
+    n = nc + ba.npts * 3
+    A = np.zeros((n, n))
+    A[:nc, :nc] = np.asarray(JtJ.U, np.float64)
+    cam_of = np.asarray(JtJ.cam_of)
+    Wv = np.asarray(JtJ.Wv, np.float64)
+    for p in range(ba.npts):
+        for k in range(cam_of.shape[1]):
+            c = int(cam_of[p, k])
+            A[c*6:(c+1)*6, nc+p*3:nc+(p+1)*3] += Wv[p, k]
+    A[nc:, :nc] = A[:nc, nc:].T
+    for p in range(ba.npts):
+        A[nc+p*3:nc+(p+1)*3, nc+p*3:nc+(p+1)*3] = np.asarray(
+            JtJ.V[p], np.float64)
+    A += float(lam) * np.eye(n)
+    b64 = np.concatenate([np.asarray(rhs["c"], np.float64),
+                          np.asarray(rhs["q"], np.float64).reshape(-1)])
+    u64 = np.linalg.solve(A, b64)
+
+    # masked slots must hold exactly-zero coupling blocks (the gather
+    # precondition)
+    assert np.all(Wv[mask == 0.0] == 0.0)
+
+    ns0 = ba.newton_solver()
+    gather = build_cam_gather(cam_of, ba.ncam)
+
+    def solve(iters):
+        ns = dc.replace(ns0, refine_iters=iters, cam_gather=gather)
+        r = ns.gauss_newton(JtJ, rhs, lam, lambda_initial=1e-10,
+                            lambda_max_tries=10)
+        assert bool(r.ok)
+        return np.concatenate([-np.asarray(r.step["c"], np.float64),
+                               -np.asarray(r.step["q"],
+                                           np.float64).reshape(-1)])
+
+    e0, e2 = _err(solve(0), u64), _err(solve(2), u64)
+    assert e2 < e0, (e0, e2)
+    assert e2 < max(e0 * 1e-1, 5e-7), (e0, e2)
