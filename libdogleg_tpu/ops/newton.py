@@ -722,6 +722,13 @@ def build_cam_gather(cam_of, ncam: int):
     gather exact zeros). Returns (tbl (ncam, width) int32, mask
     (ncam, width, 1) bool) as jnp arrays."""
     cam_of = np.asarray(cam_of).reshape(-1)
+    if not np.all((cam_of >= 0) & (cam_of < ncam)):
+        # negative Python indexing would silently wrap a padding entry
+        # (e.g. -1) onto the last camera; fail loudly instead
+        raise ValueError(
+            "build_cam_gather: cam_of entries must be in [0, ncam); "
+            "pad invalid observation slots with a valid camera id and "
+            "zero Wv blocks")
     terms = [[] for _ in range(ncam)]
     for idx, c in enumerate(cam_of):
         terms[int(c)].append(idx)

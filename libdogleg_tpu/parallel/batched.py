@@ -38,6 +38,22 @@ AUTO_BLOCKED_MIN_BATCH = 128
 AUTO_BLOCKED_MAX_N = 128
 
 
+def _check_layout(layout: str) -> None:
+    if layout not in ("leading", "minor"):
+        raise ValueError(
+            f"layout must be 'leading' or 'minor', got {layout!r}")
+
+
+def _minor_spec(mesh: Mesh, axis_name: str):
+    """Per-leaf NamedSharding putting axis_name on the LAST axis — the
+    batch axis of a layout='minor' carry (leaves are (..., B))."""
+    def spec_for(a):
+        nd = jnp.ndim(a)
+        return NamedSharding(
+            mesh, P(*([None] * (nd - 1) + [axis_name])) if nd else P())
+    return spec_for
+
+
 def _auto_newton(products_fn, p0_batch, problem_data):
     """Batch-regime strategy default: for a dense square JtJ with mid-size
     Nstate (17..128) and batch >= 128, the blocked-panel Cholesky beats
@@ -76,7 +92,9 @@ def batched_optimize(products_fn,
                      axis_name: str = "dp",
                      problem_data: Any = None,
                      newton_solver=None,
-                     layout: str = "leading") -> SolveResult:
+                     layout: str = "leading",
+                     record_history: bool = False,
+                     history_capacity: Optional[int] = None) -> SolveResult:
     """Solve a batch of independent problems, optionally mesh-sharded.
 
     Args:
@@ -101,22 +119,32 @@ def batched_optimize(products_fn,
         (..., B), which tiles compactly for large B). The public
         interface is unchanged: inputs and results are batch-leading
         either way. Exactness: same program order per element, tested
-        identical.
+        identical. Composes with mesh= (the transpose happens inside the
+        jitted region; boundary shardings stay batch-leading).
+      record_history / history_capacity: keep the per-attempt vnlog-schema
+        History in the result (one (cap,)-row buffer per batch element,
+        leading batch axis like every other result leaf) — the reference's
+        only observability stream (dogleg.c:42-113), reachable from the
+        production batched path.
 
     Returns a SolveResult whose leaves carry the leading batch axis.
     """
+    _check_layout(layout)
     prm = parameters if parameters is not None else DoglegParameters()
     if newton_solver is None:
         newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
 
     if problem_data is None:
-        solve_one = lambda p0: solve_products(products_fn, p0, prm,
-                                              newton_solver=newton_solver)
+        solve_one = lambda p0: solve_products(
+            products_fn, p0, prm, newton_solver=newton_solver,
+            record_history=record_history,
+            history_capacity=history_capacity)
         args = (p0_batch,)
     else:
         solve_one = lambda p0, data: solve_products(
             lambda p: products_fn(p, data), p0, prm,
-            newton_solver=newton_solver)
+            newton_solver=newton_solver, record_history=record_history,
+            history_capacity=history_capacity)
         args = (p0_batch, problem_data)
 
     if layout == "minor":
@@ -151,7 +179,9 @@ def batched_optimize_compacted(products_fn,
                                phase1_attempts: Optional[int] = None,
                                compact_capacity: Optional[int] = None,
                                newton_solver=None,
-                               layout: str = "leading"):
+                               layout: str = "leading",
+                               record_history: bool = False,
+                               history_capacity: Optional[int] = None):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
@@ -185,25 +215,30 @@ def batched_optimize_compacted(products_fn,
     mesh); the adaptive phase-1 stopping reduction is a global psum.
 
     layout="minor" runs the whole pipeline with the batch as the minor
-    dimension inside the jitted region (see batched_optimize.layout);
-    unsupported together with mesh= (the sharding specs assume a leading
-    batch axis).
+    dimension inside the jitted region (see batched_optimize.layout).
+    It composes with mesh=: boundary shardings stay batch-leading (the
+    transpose is inside the jit), and the internal straggler-buffer
+    constraint shards the TRAILING axis of every carry leaf instead of
+    the leading one.
+
+    record_history / history_capacity: as in batched_optimize. History
+    buffers ride the solver-state pytree, so they are gathered into the
+    compact pass and scattered back with everything else; re-run lanes
+    (duplicate fill indices) are frozen by the solver's done-masking, so
+    their rows are rewritten unchanged.
 
     Returns a SolveResult with the leading batch axis, identical to
     batched_optimize.
     """
     from libdogleg_tpu.solver import (init_solver_state, result_from_state,
                                       run_solver)
+    _check_layout(layout)
     prm = parameters if parameters is not None else DoglegParameters()
     batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
     cap = compact_capacity or max(batch // 16, 1)
     if newton_solver is None:
         newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
     minor = layout == "minor"
-    if minor and mesh is not None:
-        raise NotImplementedError(
-            "layout='minor' with mesh= is not supported; the sharding "
-            "specs assume a leading batch axis")
 
     def products_of(data):
         if problem_data is None:
@@ -225,7 +260,9 @@ def batched_optimize_compacted(products_fn,
                 lambda a: jnp.moveaxis(a, 0, -1), (p0s, data))
 
         def init_one(p0, d):
-            return init_solver_state(products_of(d), p0, prm)
+            return init_solver_state(products_of(d), p0, prm,
+                                     record_history=record_history,
+                                     history_capacity=history_capacity)
 
         def seg_one(st, d, k):
             return run_solver(products_of(d), st, prm, max_new_attempts=k,
@@ -251,11 +288,18 @@ def batched_optimize_compacted(products_fn,
             # keep the compact pass data-parallel too: without the
             # constraint the partitioner may replicate the cap-sized
             # buffer and run the straggler pass redundantly on every
-            # device
-            shard = NamedSharding(mesh, P(axis_name))
-            take = lambda x: jax.tree_util.tree_map(
-                lambda a: jax.lax.with_sharding_constraint(
-                    gather(a, idx), shard), x)
+            # device. The batch axis of a gathered leaf is leading for
+            # layout="leading" and trailing for layout="minor".
+            if minor:
+                spec_for = _minor_spec(mesh, axis_name)
+                take = lambda x: jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        gather(a, idx), spec_for(a)), x)
+            else:
+                shard = NamedSharding(mesh, P(axis_name))
+                take = lambda x: jax.tree_util.tree_map(
+                    lambda a: jax.lax.with_sharding_constraint(
+                        gather(a, idx), shard), x)
         else:
             take = lambda x: jax.tree_util.tree_map(
                 lambda a: gather(a, idx), x)

@@ -233,6 +233,11 @@ class FactoredBasisProblem:
         wh, wl = comp.pair_dot_pair(c, hh, hl)           # c . h
         uh, ul = comp.pair_add(nh, nl, -wh, -wl)         # n2m - c.h
         norm2 = jnp.dot(c, g) + comp.collapse(uh, ul)
+        # The compensated c.(Gc-h) + (m.m - c.h) combination can cancel a
+        # hair below zero near the optimum (the general form's x@x cannot);
+        # clamp so downstream sqrt/scale consumers never see a negative
+        # cost. Exact whenever the true value is nonnegative.
+        norm2 = jnp.maximum(norm2, jnp.zeros_like(norm2))
         return Products(norm2_x=norm2, Jt_x=Jt_x, JtJ=JtJ)
 
 

@@ -373,3 +373,54 @@ def test_sparse_visibility_ba_obs_mask_padding():
         newton_solver=ns_b))(p0["c"], p0["q"])
     # padded instance converges to the pixel-noise floor (true nobs!)
     assert float(r_b.norm2_x) < 0.5 * 2 * (ba.npts * 2)
+
+
+def test_sparse_visibility_ba_singular_V_lambda_escalation():
+    """Rank-deficient BA at scale through the full sparse-W Schur solve
+    (VERDICT r3 ask 7): a block of points has NO observations and NO
+    prior, so their V blocks are exactly singular and every factorization
+    attempt at lambda=0 fails until the permanent escalating lambda
+    (reference dogleg.c:670-676, 811-815) kicks in. The solve must (a)
+    escalate lambda and converge anyway, leaving the unobserved points
+    untouched, and (b) report FACTORIZATION_FAILED when the escalation
+    budget is zeroed out."""
+    from libdogleg_tpu.models import pinhole_ba
+    ba = pinhole_ba.make_synthetic_sparse(seed=3, ncam=8, npts=400,
+                                          k_obs=4, pixel_noise=0.1)
+    n_dead = 64
+    mask = jnp.ones((ba.npts, ba.k_obs))
+    mask = mask.at[-n_dead:].set(0.0)  # last 64 points: zero observations
+    ba = ba._replace(obs_mask=mask, w_prior_pts=0.0,
+                     # keep the problem otherwise well-posed: pin scale
+                     # via a mild prior on the OBSERVED points only is not
+                     # expressible through the scalar w_prior_pts, so keep
+                     # the strong cam0 prior and accept the soft scale
+                     # gauge; the test asserts cost + lambda + reasons,
+                     # not tight parameter recovery
+                     )
+    ns = ba.newton_solver()
+    p0 = ba.p0(jax.random.PRNGKey(5), jitter=0.01)
+
+    r = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, DoglegParameters(),
+        newton_solver=ns))(p0["c"], p0["q"])
+    assert int(r.reason) in (int(StopReason.GRADIENT_CONVERGED),
+                             int(StopReason.SMALL_STEP),
+                             int(StopReason.MAX_ITERATIONS))
+    assert int(r.reason) != int(StopReason.FACTORIZATION_FAILED)
+    # lambda escalated off zero (V blocks of the dead points are singular)
+    assert float(r.lam) > 0.0
+    # converged to the pixel-noise floor of the LIVE observations
+    live_obs = 2 * (ba.npts - n_dead) * ba.k_obs
+    assert float(r.norm2_x) < 0.5 * live_obs * (0.1 ** 2) * 4
+    # unobserved, prior-free points have zero gradient: never moved
+    np.testing.assert_allclose(np.asarray(r.p["q"][-n_dead:]),
+                               np.asarray(p0["q"][-n_dead:]),
+                               rtol=0, atol=0)
+
+    # (b) zero escalation budget -> the failure is terminal and reported
+    prm0 = DoglegParameters(lambda_max_tries=0)
+    r_fail = jax.jit(lambda pc, pq: solve_products(
+        ba.products, {"c": pc, "q": pq}, prm0,
+        newton_solver=ns))(p0["c"], p0["q"])
+    assert int(r_fail.reason) == int(StopReason.FACTORIZATION_FAILED)

@@ -433,3 +433,128 @@ def test_compacted_layout_minor_exact():
                                   np.asarray(r1.reason))
     np.testing.assert_allclose(np.asarray(r0.p), np.asarray(r1.p),
                                rtol=1e-12, atol=1e-13)
+
+
+def _batch_problem(batch, seed0=0, seed1=1):
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(seed0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(seed1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    return products, p0s, meas
+
+
+def test_layout_validated():
+    """A misspelled layout raises instead of silently measuring the
+    leading layout (advisor round-3 finding)."""
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    products, p0s, meas = _batch_problem(8)
+    with pytest.raises(ValueError, match="layout"):
+        batched_optimize(products, p0s, problem_data=meas, layout="Minor")
+    with pytest.raises(ValueError, match="layout"):
+        batched_optimize_compacted(products, p0s, problem_data=meas,
+                                   layout="trailing")
+
+
+def test_batched_layout_minor_sharded():
+    """layout="minor" COMPOSED with the dp mesh: the boundary stays
+    batch-leading/dp-sharded while the internal carry is batch-minor.
+    Decision-identical to the unsharded minor run."""
+    from jax.sharding import PartitionSpec as P
+    products, p0s, meas = _batch_problem(128)
+    mesh = make_mesh(("dp",))
+    prm = DoglegParameters(max_iterations=8)
+    r_ref = batched_optimize(products, p0s, prm, problem_data=meas,
+                             layout="minor")
+    p0s_s, meas_s = shard_batch((p0s, meas), mesh)
+    r = batched_optimize(products, p0s_s, prm, problem_data=meas_s,
+                         mesh=mesh, layout="minor")
+    np.testing.assert_array_equal(np.asarray(r.step_count),
+                                  np.asarray(r_ref.step_count))
+    np.testing.assert_array_equal(np.asarray(r.reason),
+                                  np.asarray(r_ref.reason))
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(r_ref.p),
+                               rtol=1e-12, atol=1e-13)
+    assert r.p.sharding.spec == P("dp")
+
+
+def test_compacted_layout_minor_sharded():
+    """Compaction x mesh x layout="minor" — the pod deployment shape with
+    the TPU-friendly carry layout. Decisions identical to the leading
+    sharded run; results dp-sharded at the boundary."""
+    from jax.sharding import PartitionSpec as P
+
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    products, p0s, meas = _batch_problem(128)
+    mesh = make_mesh(("dp",))
+    prm = DoglegParameters(max_iterations=8)
+    r_ref = batched_optimize_compacted(products, p0s, prm,
+                                       problem_data=meas)
+    p0s_s, meas_s = shard_batch((p0s, meas), mesh)
+    r = batched_optimize_compacted(products, p0s_s, prm,
+                                   problem_data=meas_s, mesh=mesh,
+                                   layout="minor")
+    np.testing.assert_array_equal(np.asarray(r.step_count),
+                                  np.asarray(r_ref.step_count))
+    np.testing.assert_array_equal(np.asarray(r.reason),
+                                  np.asarray(r_ref.reason))
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(r_ref.p),
+                               rtol=1e-12, atol=1e-13)
+    assert r.p.sharding.spec == P("dp")
+
+
+@pytest.mark.parametrize("layout", ["leading", "minor"])
+def test_batched_record_history(layout):
+    """record_history through the batched production entry points: every
+    element carries its own vnlog-schema History, identical to a lone
+    solve_products run of the same element, and renders to vnlog text."""
+    from libdogleg_tpu.diagnostics import format_vnlog
+    products, p0s, meas = _batch_problem(32)
+    prm = DoglegParameters(max_iterations=8)
+    r = batched_optimize(products, p0s, prm, problem_data=meas,
+                         layout=layout, record_history=True,
+                         history_capacity=32)
+    assert r.history is not None
+    assert r.history.iteration.shape == (32, 32)
+    i = 3
+    lone = solve_products(
+        lambda p: products(p, jax.tree_util.tree_map(lambda a: a[i], meas)),
+        p0s[i], prm, record_history=True, history_capacity=32)
+    # vmapped and lone solves are different XLA compilations (different
+    # fusion/reduction orders): agreement to roundoff, not bitwise — and
+    # the improvement/rho columns are (ratios of) differences of
+    # near-equal costs, whose roundoff is ~1e-6 relative. This test
+    # checks the PLUMBING (right rows, right element); numeric parity of
+    # the history columns is pinned bitwise in test_diagnostics_vnlog.
+    for got, ref in zip(r.history, lone.history):
+        np.testing.assert_allclose(np.asarray(got[i]), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-10)
+    hist_i = jax.tree_util.tree_map(lambda a: a[i], r.history)
+    txt = format_vnlog(hist_i, int(r.n_attempts[i]))
+    # one legend line + one row per attempt
+    assert len(txt.splitlines()) == int(r.n_attempts[i]) + 1
+
+
+def test_compacted_record_history():
+    """record_history through compaction: the gather/scatter carries the
+    history buffers, re-run lanes stay frozen, and the rows match the
+    plain batched run exactly."""
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    products, p0s, meas = _batch_problem(64)
+    prm = DoglegParameters(max_iterations=8)
+    r_ref = batched_optimize(products, p0s, prm, problem_data=meas,
+                             record_history=True, history_capacity=32)
+    r = batched_optimize_compacted(products, p0s, prm, problem_data=meas,
+                                   record_history=True,
+                                   history_capacity=32)
+    assert r.history is not None
+    for got, ref in zip(r.history, r_ref.history):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-12, atol=0)
