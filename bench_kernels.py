@@ -331,6 +331,96 @@ def bench_e2e_roofline_config8(batch=512, nstate=64, meas_factor=4):
          bound="HBM (problem-data stream per attempt)")
 
 
+def bench_e2e_loop_overhead_sweep(batches=(512, 2048, 8192, 32768),
+                                  layouts=("leading", "minor")):
+    """Tests the roofline's residual-gap hypothesis (docs/ROOFLINE.md): if
+    the measured ns/attempt stays far above the HBM bound after the
+    layout/factored remedies, is the rest per-WAVEFRONT loop overhead
+    (while_loop dispatch cost paid once per attempt wavefront, amortized
+    over the batch) or per-ELEMENT cost (real memory/compute)?
+
+    Method: run the plain config-3 batched solve (no compaction, so
+    wavefronts == max n_attempts) across batch sizes, take per-wavefront
+    seconds w(B) = dt / wavefronts, and least-squares fit
+    w(B) = overhead + slope * B. 'overhead' is the fixed per-wavefront
+    cost (loop dispatch, scalar bookkeeping); 'slope' is the marginal
+    per-element-attempt cost, directly comparable to the per-attempt HBM
+    bound. If overhead/B >> slope at production batch sizes, the gap is
+    loop overhead and the megakernel (whole attempt resident in VMEM) is
+    the lever; if slope itself sits above the bound, the carry traffic is
+    real and the layout work must continue."""
+    import libdogleg_tpu.models.quadratic_surface as sp
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.parallel.batched import batched_optimize
+    from libdogleg_tpu.solver import Products
+
+    dtype = jnp.float32
+    m, n = sp.NMEAS, sp.NSTATE
+    gx, gy = sp.make_grid(dtype)
+    prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+
+    def products(p, meas):
+        x = sp.model(p, gx, gy) - meas
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x,
+                        Jt_x=jnp.matmul(J.T, x,
+                                        preferred_element_type=dtype),
+                        JtJ=jnp.matmul(J.T, J,
+                                       preferred_element_type=dtype))
+
+    # the same per-attempt HBM bound as bench_e2e_roofline_config3
+    carry_f32 = 3 * n + 1 + n * n + 3 * (n + 2) + 8
+    bytes_att = 2 * 4 * carry_f32 + 4 * m
+    mxu, hbm = peaks()
+    bound_att_ns = max(bytes_att / (hbm * 1e9),
+                       (10 * m + 12 * m + 2 * m * n + 2 * m * n * n
+                        + n ** 3 // 3 + 3 * 2 * n * n + 40 * n)
+                       / (mxu * 1e12)) * 1e9
+
+    for layout in layouts:
+        rows = []
+        for batch in batches:
+            keys = jax.random.split(jax.random.PRNGKey(0), batch)
+            meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+            p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+                jax.random.split(jax.random.PRNGKey(1), batch))
+
+            def run(q, mm):
+                r = batched_optimize(products, q, prm, problem_data=mm,
+                                     layout=layout)
+                return r.p, r.n_attempts
+
+            _, n_att = jax.jit(run)(p0s, meas)
+            n_att = np.asarray(n_att)
+            wavefronts = int(n_att.max())
+            useful = int(n_att.sum())
+            dt = measure_loop(lambda q, mm: run(q, mm), p0s, meas)
+            rows.append({"batch": batch, "wavefronts": wavefronts,
+                         "useful_attempts": useful,
+                         "solve_s": round(dt, 6),
+                         "wavefront_us": round(dt / wavefronts * 1e6, 3),
+                         "ns_per_attempt": round(dt / useful * 1e9, 2)})
+        B = np.array([r["batch"] for r in rows], np.float64)
+        W = np.array([r["solve_s"] / r["wavefronts"] for r in rows])
+        A = np.stack([np.ones_like(B), B], axis=1)
+        (overhead, slope), *_ = np.linalg.lstsq(A, W, rcond=None)
+        # the marginal per-element-attempt cost includes the wavefront
+        # waste of masked-done elements; per USEFUL attempt it scales by
+        # (wavefronts * batch) / useful, roughly constant across B
+        waste = np.mean([r["wavefronts"] * r["batch"]
+                         / r["useful_attempts"] for r in rows])
+        emit("e2e_loop_overhead_sweep", overhead * 1e6, "us/wavefront",
+             layout=layout, sweep=rows,
+             marginal_ns_per_element_attempt=round(slope * 1e9, 3),
+             marginal_ns_per_useful_attempt=round(slope * waste * 1e9, 3),
+             bound_ns_per_attempt=round(bound_att_ns, 3),
+             overhead_share_at_8192=round(
+                 float(overhead / (overhead + slope * 8192)), 4),
+             bound="fit: wavefront_s = overhead + slope*batch")
+
+
 def bench_sparse_cholesky(nb=256, b=64, band=3):
     from libdogleg_tpu import sparse_cholesky as sc
     rows = np.array([i for j in range(nb)
@@ -370,3 +460,4 @@ if __name__ == "__main__":
     bench_e2e_roofline_config3()
     bench_e2e_roofline_config3f()
     bench_e2e_roofline_config8()
+    bench_e2e_loop_overhead_sweep()

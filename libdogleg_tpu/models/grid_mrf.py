@@ -41,6 +41,13 @@ class GridMRF(NamedTuple):
     w_prior: float
     w_edge: float
     p_true: jnp.ndarray      # (n_nodes * b,)
+    # optional per-edge mixing matrices (n_edges, b, b): edge residual
+    # r_(uv) = sqrt(w_edge) * (M_e p_v - p_u - z_uv). None = identity
+    # (the classic diagonal coupling, where JtJ's off-diagonal blocks are
+    # secretly diagonal and the scalar problem decouples per component);
+    # dense M_e is the pose-graph-like regime the block-sparse machinery
+    # exists for (dense 6x6-ish inter-node blocks).
+    mix: jnp.ndarray = None
 
     @property
     def n_nodes(self) -> int:
@@ -59,16 +66,24 @@ class GridMRF(NamedTuple):
         ev = jnp.asarray(self.edges[:, 1])
         eye = jnp.eye(b)
         # static block values: priors sqrt(wp) I; edges [-sqrt(we) I,
-        # +sqrt(we) I] in (u, v) column order per row (see structure build)
+        # +sqrt(we) M_e] in (u, v) column order per row (see structure
+        # build); M_e = I unless mix is set
+        if self.mix is None:
+            v_blocks = jnp.tile(jnp.stack([-se_w * eye, se_w * eye]),
+                                (n_edges, 1, 1))
+        else:
+            v_blocks = jnp.stack(
+                [jnp.broadcast_to(-se_w * eye, (n_edges, b, b)),
+                 se_w * self.mix], axis=1).reshape(2 * n_edges, b, b)
         values = jnp.concatenate([
-            jnp.broadcast_to(sp_w * eye, (n_nodes, b, b)),
-            jnp.tile(jnp.stack([-se_w * eye, se_w * eye]),
-                     (n_edges, 1, 1))])
+            jnp.broadcast_to(sp_w * eye, (n_nodes, b, b)), v_blocks])
 
         def f(p):
             pb = p.reshape(n_nodes, b)
             r_prior = sp_w * (pb - self.z_prior)
-            r_edge = se_w * (pb[ev] - pb[eu] - self.z_edge)
+            pv = pb[ev] if self.mix is None else jnp.einsum(
+                'ebc,ec->eb', self.mix, pb[ev])
+            r_edge = se_w * (pv - pb[eu] - self.z_edge)
             x = jnp.concatenate([r_prior.reshape(-1), r_edge.reshape(-1)])
             return x, values
 
@@ -79,7 +94,11 @@ class GridMRF(NamedTuple):
 def make_grid_mrf(width: int = 32, height: int = 32, block_size: int = 4,
                   w_prior: float = 0.01, w_edge: float = 1.0,
                   noise: float = 0.05, seed: int = 0,
+                  coupling: str = "diag",
                   dtype=jnp.float64) -> GridMRF:
+    if coupling not in ("diag", "dense"):
+        raise ValueError(f"coupling must be 'diag' or 'dense', "
+                         f"got {coupling!r}")
     rng = np.random.default_rng(seed)
     n_nodes = width * height
     b = block_size
@@ -96,7 +115,15 @@ def make_grid_mrf(width: int = 32, height: int = 32, block_size: int = 4,
 
     p_true = rng.normal(size=(n_nodes, b))
     z_prior = p_true + rng.normal(size=(n_nodes, b)) * noise
-    z_edge = (p_true[edges[:, 1]] - p_true[edges[:, 0]]
+    if coupling == "dense":
+        # well-conditioned dense per-edge mixing: M_e = I + 0.3 G_e
+        mix = (np.eye(b)[None]
+               + 0.3 * rng.normal(size=(n_edges, b, b)) / np.sqrt(b))
+        pv = np.einsum('ebc,ec->eb', mix, p_true[edges[:, 1]])
+    else:
+        mix = None
+        pv = p_true[edges[:, 1]]
+    z_edge = (pv - p_true[edges[:, 0]]
               + rng.normal(size=(n_edges, b)) * noise)
 
     # BCSR: block rows = priors then edges; priors touch 1 block (their
@@ -118,4 +145,5 @@ def make_grid_mrf(width: int = 32, height: int = 32, block_size: int = 4,
                    z_prior=jnp.asarray(z_prior, dtype),
                    z_edge=jnp.asarray(z_edge, dtype),
                    w_prior=w_prior, w_edge=w_edge,
-                   p_true=jnp.asarray(p_true.reshape(-1), dtype))
+                   p_true=jnp.asarray(p_true.reshape(-1), dtype),
+                   mix=None if mix is None else jnp.asarray(mix, dtype))

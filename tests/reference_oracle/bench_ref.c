@@ -2,12 +2,18 @@
  * library (dkogan/libdogleg), for the head-to-head cost comparison in
  * bench_cpu_ref.py.
  *
- * Two problem families, both re-implemented from this repo's model specs
+ * Three problem families, all re-implemented from this repo's model specs
  * (NOT from reference code):
  *   0: quadratic surface — libdogleg_tpu/models/quadratic_surface.py
  *      (the reference's own demo problem; see also sample.c:28-123)
  *   1: exponential curve fit — libdogleg_tpu/models/curve_fit.py
  *      (m(t;p) = p0 exp(p1 t) + p2, the BASELINE config-2 dense workload)
+ *   2: 2-D grid MRF — libdogleg_tpu/models/grid_mrf.py (the config-6
+ *      SPARSE workload): block priors + 4-neighbor relative
+ *      measurements, solved through the reference's sparse path
+ *      (dogleg_optimize2 -> cholmod_analyze/factorize/solve; here the
+ *      minichol RCM+band simplicial factorization). Single instance,
+ *      latency mode only.
  *
  * The model callbacks are native C, so no Python/ctypes overhead is in the
  * measured loop — the numbers are the reference library's own cost on this
@@ -140,6 +146,131 @@ static double now_s(void)
     return (double)ts.tv_sec + 1e-9 * (double)ts.tv_nsec;
 }
 
+/* ---- problem 2: grid MRF through the sparse path --------------------- */
+
+typedef struct
+{
+    int           n_nodes, n_edges, b;
+    const double* edges;    /* (n_edges, 2) as doubles (u, v), u < v */
+    const double* z_prior;  /* (n_nodes * b) */
+    const double* z_edge;   /* (n_edges * b) */
+    const double* mix;      /* dense coupling: (n_edges, b, b) M_e, or
+                               NULL for the diagonal coupling */
+    double        sw_prior, sw_edge; /* sqrt weights */
+    long          n_evals;
+} grid_t;
+
+/* residuals x and Jt (CSC, Nstate x Nmeas): prior rows then edge rows,
+ * matching grid_mrf.make_grid_mrf's measurement order. Edge residual
+ * r_(uv,k) = sw_e ((M_e p_v)_k - p_u_k - z_uv_k), M_e = I for diagonal
+ * coupling. The pattern is static (the problem is linear); columns are
+ * sorted (u < v). */
+static void cb_grid(const double* p, double* x, cholmod_sparse* Jt,
+                    void* cookie)
+{
+    grid_t* g = (grid_t*)cookie;
+    g->n_evals++;
+    const int b = g->b, n_nodes = g->n_nodes, n_edges = g->n_edges;
+    int*    Jp = Jt->p;
+    int*    Ji = Jt->i;
+    double* Jx = Jt->x;
+    long col = 0, w = 0;
+    for (int v = 0; v < n_nodes; v++)
+        for (int k = 0; k < b; k++)
+        {
+            x[col] = g->sw_prior * (p[v*b + k] - g->z_prior[v*b + k]);
+            Jp[col] = (int)w;
+            Ji[w]   = v*b + k;
+            Jx[w++] = g->sw_prior;
+            col++;
+        }
+    for (int e = 0; e < n_edges; e++)
+    {
+        const int u = (int)g->edges[2*e], v = (int)g->edges[2*e + 1];
+        const double* M = g->mix ? &g->mix[(long)e*b*b] : NULL;
+        for (int k = 0; k < b; k++)
+        {
+            double pv = 0.0;
+            if (M)
+                for (int c = 0; c < b; c++) pv += M[k*b + c] * p[v*b + c];
+            else
+                pv = p[v*b + k];
+            x[col] = g->sw_edge * (pv - p[u*b + k] - g->z_edge[e*b + k]);
+            Jp[col] = (int)w;
+            Ji[w]   = u*b + k;
+            Jx[w++] = -g->sw_edge;
+            if (M)
+                for (int c = 0; c < b; c++)
+                {
+                    Ji[w]   = v*b + c;
+                    Jx[w++] = g->sw_edge * M[k*b + c];
+                }
+            else
+            {
+                Ji[w]   = v*b + k;
+                Jx[w++] = g->sw_edge;
+            }
+            col++;
+        }
+    }
+    Jp[col] = (int)w;
+}
+
+static int run_grid(FILE* f, int64_t nstate, int64_t nmeas,
+                    const dogleg_parameters2_t* prm, long reps)
+{
+    double sub[6];
+    if (fread(sub, sizeof(double), 6, f) != 6)
+    { fprintf(stderr, "short grid subheader\n"); return 2; }
+    grid_t g;
+    g.n_nodes  = (int)sub[0];
+    g.n_edges  = (int)sub[1];
+    g.b        = (int)sub[2];
+    g.sw_prior = sqrt(sub[3]);
+    g.sw_edge  = sqrt(sub[4]);
+    const int dense_coupling = (int)sub[5];
+    g.n_evals  = 0;
+    const size_t ne = (size_t)g.n_edges, nn = (size_t)g.n_nodes;
+    double* edges   = malloc(sizeof(double) * 2 * ne);
+    double* z_prior = malloc(sizeof(double) * nn * g.b);
+    double* z_edge  = malloc(sizeof(double) * ne * g.b);
+    double* mix     = dense_coupling
+        ? malloc(sizeof(double) * ne * g.b * g.b) : NULL;
+    double* p       = calloc((size_t)nstate, sizeof(double));
+    if (fread(edges, sizeof(double), 2*ne, f) != 2*ne ||
+        fread(z_prior, sizeof(double), nn*g.b, f) != nn*g.b ||
+        fread(z_edge, sizeof(double), ne*g.b, f) != ne*g.b ||
+        (dense_coupling &&
+         fread(mix, sizeof(double), ne*g.b*g.b, f) != ne*g.b*g.b))
+    { fprintf(stderr, "short grid data\n"); return 2; }
+    fclose(f);
+    g.edges = edges; g.z_prior = z_prior; g.z_edge = z_edge; g.mix = mix;
+
+    const unsigned NJnnz = (unsigned)(nn*g.b
+                                      + (dense_coupling
+                                         ? ne*g.b*(1 + (size_t)g.b)
+                                         : 2*ne*g.b));
+    double norm2 = 0.0;
+    const double t0 = now_s();
+    for (long r = 0; r < reps; r++)
+    {
+        memset(p, 0, sizeof(double) * (size_t)nstate);
+        norm2 = dogleg_optimize2(p, (unsigned)nstate, (unsigned)nmeas,
+                                 NJnnz, cb_grid, &g, prm, NULL);
+    }
+    const double wall = now_s() - t0;
+    printf("{\"problem\": 2, \"mode\": \"sparse-latency\", "
+           "\"coupling\": \"%s\", ", dense_coupling ? "dense" : "diag");
+    printf("\"nstate\": %lld, \"nmeas\": %lld, \"reps\": %ld, "
+           "\"wall_s\": %.6f, \"latency_ms\": %.3f, "
+           "\"mean_evals\": %.3f, \"norm2_x\": %.10e}\n",
+           (long long)nstate, (long long)nmeas, reps, wall,
+           1e3 * wall / (double)reps,
+           (double)g.n_evals / (double)reps, norm2);
+    free(edges); free(z_prior); free(z_edge); free(mix); free(p);
+    return 0;
+}
+
 static void solve_instance(instance_t* in, double* p,
                            const dogleg_parameters2_t* prm, int products)
 {
@@ -179,8 +310,24 @@ int main(int argc, char** argv)
     const int  nmeas   = (int)hdr[2];
     const long n       = (long)hdr[3];
     const int  naux    = problem == 0 ? 2 * nmeas : nmeas;
-    if (problem < 0 || problem > 1 || nstate <= 0 || nmeas <= 0 || n <= 0)
+    if (problem < 0 || problem > 2 || nstate <= 0 || nmeas <= 0 || n <= 0)
     { fprintf(stderr, "bad header\n"); return 2; }
+
+    if (problem == 2)
+    {
+        dogleg_parameters2_t gprm;
+        dogleg_getDefaultParameters(&gprm);
+        gprm.dogleg_debug = 0;
+        if (relaxed)
+        {
+            gprm.max_iterations        = 10;
+            gprm.Jt_x_threshold        = 1e-3;
+            gprm.update_threshold      = 1e-5;
+            gprm.trustregion_threshold = 1e-5;
+        }
+        /* n in the header carries the rep count for the latency loop */
+        return run_grid(f, nstate, nmeas, &gprm, n);
+    }
 
     double* aux  = malloc(sizeof(double) * (size_t)naux);
     double* meas = malloc(sizeof(double) * (size_t)n * nmeas);

@@ -16,11 +16,17 @@
  *    sparse matrix; the reference only iterates it in row order,
  *    dogleg.c:2876-2888).
  *
- * Differences from real CHOLMOD, by design: natural ordering (no AMD/COLAMD
- * permutation) and a dense factor representation internally — numerics are
- * correct double-precision Cholesky, differing from SuiteSparse only in
- * summation order (ulp-level). Performance is O(n^3); fine for oracle-sized
- * problems.
+ * Differences from real CHOLMOD, by design: for oracle-sized problems
+ * (n <= 1024), natural ordering and a dense factor representation —
+ * numerics are correct double-precision Cholesky, differing from
+ * SuiteSparse only in summation order (ulp-level), and bit-stable across
+ * edits (the parity tests pin against this path). For larger n (the
+ * config-6-scale head-to-head benchmarks) an RCM-ordered BANDED
+ * simplicial factorization is used: O(n bw^2) time / O(n bw) memory —
+ * a classical CSparse-class method, typically within a small factor of
+ * CHOLMOD's simplicial mode on grid-structured problems but slower than
+ * its supernodal+AMD/ND mode; benchmark JSON rows that time this path
+ * say so.
  *
  * This is original code, not copied from SuiteSparse; type/field names
  * follow the public CHOLMOD API so the reference compiles unmodified.
@@ -52,9 +58,18 @@ typedef struct {
 
 typedef struct {
   size_t n, minor;
-  /* implementation detail (never touched by dogleg.c): the factor,
-   * dense row-major lower-triangular, n*n */
+  /* implementation details (never touched by dogleg.c). Two paths:
+   *  - dense (n <= MINICHOL_BAND_MIN_N): L is the factor, dense
+   *    row-major lower-triangular, n*n — bit-identical to the original
+   *    oracle, used by all parity tests;
+   *  - band (large n): an RCM-permuted banded factor, the
+   *    benchmark-grade simplicial path. Lb[k*(bw+1)+d] = L[k][k-d] of
+   *    the factorization of P (A A^T + beta I) P^T; perm[new] = old. */
   double *L;
+  int is_band;
+  int bw;
+  double *Lb;
+  int *perm, *iperm;
 } cholmod_factor;
 
 typedef struct {
