@@ -422,3 +422,37 @@ def test_vmapped_supernodal_solves():
         np.testing.assert_allclose(d @ np.asarray(xs[i]),
                                    np.asarray(rhss[i]),
                                    rtol=1e-8, atol=1e-10)
+
+
+def test_grid_mrf_dense_coupling():
+    """coupling='dense' (pose-graph-like dense per-edge mixing blocks —
+    the regime where JtJ's off-diagonal blocks are genuinely dense
+    instead of secretly diagonal): sparse and dense-JtJ modes agree on
+    products and trajectory, and the solve recovers the linear optimum
+    in one GN step."""
+    import jax
+    from libdogleg_tpu import DoglegParameters, optimize
+    from libdogleg_tpu.models import grid_mrf
+    from libdogleg_tpu.problems import SparseProblem
+
+    m = grid_mrf.make_grid_mrf(width=6, height=5, block_size=3,
+                               coupling="dense")
+    assert m.mix is not None and m.mix.shape == (m.edges.shape[0], 3, 3)
+    base = m.problem(jtj="dense")
+    spp = SparseProblem(f=base.f, structure=base.structure, jtj="sparse",
+                        ordering="rcm", amalgamate=4)
+    p0 = jnp.zeros(m.nstate)
+    pr_d = base.products(p0)
+    pr_s = spp.products(p0)
+    np.testing.assert_allclose(float(pr_s.norm2_x), float(pr_d.norm2_x),
+                               rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(pr_s.Jt_x),
+                               np.asarray(pr_d.Jt_x),
+                               rtol=1e-10, atol=1e-12)
+    prm = DoglegParameters()
+    r_d = optimize(base, p0, prm)
+    r_s = jax.jit(lambda q: optimize(
+        spp, q, prm, newton_solver=spp.default_newton_solver()))(p0)
+    assert int(r_s.step_count) == int(r_d.step_count) == 1
+    np.testing.assert_allclose(np.asarray(r_s.p), np.asarray(r_d.p),
+                               rtol=1e-8, atol=1e-9)
