@@ -102,29 +102,59 @@ def main():
     p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
         jax.random.split(jax.random.PRNGKey(1), BATCH))
 
+    def solver_mega(block_batch):
+        from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
+
+        def solve_one_batch(p0s, meas_batch):
+            r = megakernel_optimize(
+                sp.products_minor, p0s, prm,
+                problem_data=(meas_batch,),
+                shared_data=(gx[:, None], gy[:, None]),
+                block_batch=block_batch)
+            return r.p, r.step_count.astype(jnp.float32)
+        return solve_one_batch
+
     # Warmup / compile + correctness gate ON THE TIMED PROGRAMS: a
     # regression in the compaction path must fail the gate, not just a
-    # separate CPU test (advisor round-1 finding). Both carry layouts are
-    # measured; the reported headline is the faster one.
+    # separate CPU test (advisor round-1 finding). Contenders: both
+    # carry layouts of the XLA compacted path, plus the whole-solve
+    # Pallas megakernel (ops/pallas_mega.py) — the reported headline is
+    # the fastest gate-passing program. The megakernel leg is
+    # best-effort: a Mosaic lowering failure skips it with a note
+    # instead of zeroing the headline.
+    contenders = [("leading", solver_for("leading"), True),
+                  ("minor", solver_for("minor"), True),
+                  ("mega-256", solver_mega(256), False),
+                  ("mega-1024", solver_mega(1024), False)]
     best = None
-    for layout in ("leading", "minor"):
-        solve_one_batch = solver_for(layout)
-        p_sol, steps = jax.block_until_ready(
-            solve_one_batch(p0s, meas_batch))
+    for name, solve_one_batch, required in contenders:
+        try:
+            p_sol, steps = jax.block_until_ready(
+                solve_one_batch(p0s, meas_batch))
+        except Exception as e:  # noqa: BLE001 — Mosaic lowering faults
+            if required:
+                raise
+            print(f"# contender {name} failed to run "
+                  f"({type(e).__name__}: {e}); skipped", file=sys.stderr)
+            continue
         err = np.abs(np.asarray(p_sol) - sp.P_TRUE[None, :])
         frac_ok = float(np.mean(np.all(err < 0.2, axis=1)))
         if frac_ok < 0.99:
+            if not required:
+                print(f"# contender {name} failed the correctness gate "
+                      f"({frac_ok:.3f}); skipped", file=sys.stderr)
+                continue
             print(json.dumps({"metric": "batched_dogleg_solves_per_s",
                               "value": 0.0, "unit": "solves/s",
                               "vs_baseline": 0.0,
                               "error": f"correctness gate failed"
-                                       f" ({layout}): {frac_ok:.3f}"}))
+                                       f" ({name}): {frac_ok:.3f}"}))
             sys.exit(1)
         dt_l = measure_loop(lambda q, m: solve_one_batch(q, m),
                             p0s, meas_batch)
-        print(f"# layout={layout} dt={dt_l*1e3:.1f}ms", file=sys.stderr)
+        print(f"# program={name} dt={dt_l*1e3:.1f}ms", file=sys.stderr)
         if best is None or dt_l < best[0]:
-            best = (dt_l, layout, steps, frac_ok)
+            best = (dt_l, name, steps, frac_ok)
     dt, chosen_layout, steps, frac_ok = best
 
     solves_per_s = BATCH / dt

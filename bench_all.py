@@ -216,6 +216,69 @@ def config3f_batched_factored(batch=10000):
          recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
 
 
+def config3m_megakernel(batch=8192, block_batch=256):
+    """Config 3 through the whole-solve Pallas megakernel
+    (ops/pallas_mega.py): the entire dog-leg solve in one kernel with
+    the carry resident in VMEM across attempts. Best-effort — a Mosaic
+    lowering failure records an error row instead of crashing the
+    harness. batch=8192 (a block_batch multiple; config 3's 10000 is
+    not)."""
+    gx, gy = sp.make_grid(DTYPE)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
+
+    def f(q, m):
+        return megakernel_optimize(
+            sp.products_minor, q, PRM, problem_data=(m,),
+            shared_data=(gx[:, None], gy[:, None]),
+            block_batch=block_batch).p
+
+    try:
+        dt, out = timeit(jax.jit(f), p0s, meas)
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering faults
+        emit("3m-megakernel", "batched_solves_per_s", 0.0, "solves/s",
+             error=f"{type(e).__name__}: {e}"[:300])
+        return
+    err = np.abs(np.asarray(out) - sp.P_TRUE[None])
+    emit("3m-megakernel", "batched_solves_per_s", batch / dt, "solves/s",
+         vs_baseline=round(batch / dt / 1e4, 2), batch=batch,
+         block_batch=block_batch,
+         recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
+
+
+def config3fm_megakernel_factored(batch=8192, block_batch=256):
+    """Config 3f (sufficient statistics) through the megakernel: both
+    round-3 remedies + VMEM-resident carry in one program."""
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    G_pair = sp.gram_pair(DTYPE)
+    hh, hl, nh, nl = jax.vmap(sp.factored_statistics)(meas)
+    from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
+
+    def f(q, s):
+        return megakernel_optimize(
+            sp.factored_products_minor, q, PRM, problem_data=s,
+            shared_data=G_pair, block_batch=block_batch).p
+
+    try:
+        dt, out = timeit(jax.jit(f), p0s,
+                         (hh, hl, nh[:, None], nl[:, None]))
+    except Exception as e:  # noqa: BLE001 — Mosaic lowering faults
+        emit("3fm-megakernel-factored", "batched_solves_per_s", 0.0,
+             "solves/s", error=f"{type(e).__name__}: {e}"[:300])
+        return
+    err = np.abs(np.asarray(out) - sp.P_TRUE[None])
+    emit("3fm-megakernel-factored", "batched_solves_per_s", batch / dt,
+         "solves/s", vs_baseline=round(batch / dt / 1e4, 2), batch=batch,
+         block_batch=block_batch,
+         recovered_frac=round(float(np.mean(np.all(err < 0.2, -1))), 4))
+
+
 def config4_ba_schur(nc=64, n_points=20000, bs=3, k_obs=4):
     ba = bundle_adjustment.make_synthetic(
         seed=0, nc=nc, n_points=n_points, block_size=bs, k_obs=k_obs,
@@ -497,6 +560,8 @@ if __name__ == "__main__":
     config2_dense()
     config3_batched()
     config3f_batched_factored()
+    config3m_megakernel()
+    config3fm_megakernel_factored()
     config4_ba_schur()
     config5_outlierness()
     config6_sparse_grid()

@@ -392,11 +392,33 @@ def main():
                 [sys.executable, __file__, "--grid-only", str(w), str(h),
                  str(reps), coupling],
                 check=True, capture_output=True, text=True, timeout=3600)
+            ref_ms = None
             for line in out.stdout.strip().splitlines():
                 try:
-                    emit(json.loads(line))
+                    rec = json.loads(line)
                 except json.JSONDecodeError:
-                    pass
+                    continue
+                emit(rec)
+                if rec.get("side") == "reference-cpu":
+                    ref_ms = rec.get("latency_ms")
+            if "--cpu" not in sys.argv:
+                # the comparison that matters for BASELINE.md: OUR sparse
+                # path on the chip vs the reference on the host CPU (the
+                # cpu-pinned "ours" leg above is a TPU-designed
+                # level-scheduled program run on 1 XLA-CPU core — a
+                # sanity cross-check, not the product configuration)
+                rec = run_ours_grid(w, h, dtype_str="float32",
+                                    coupling=coupling)
+                rec.update(side="ours-tpu", grid=f"{w}x{h}x8",
+                           coupling=coupling)
+                emit(rec)
+                if ref_ms:
+                    emit({"metric": f"grid{w}x{h}_{coupling}"
+                                    "_ours_tpu_vs_reference_cpu",
+                          "ours_tpu_ms": rec["latency_ms"],
+                          "reference_cpu_ms": ref_ms,
+                          "speedup": round(ref_ms / rec["latency_ms"],
+                                           2)})
 
     if "--ours-cpu" in sys.argv:
         out = subprocess.run(

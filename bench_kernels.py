@@ -331,6 +331,114 @@ def bench_e2e_roofline_config8(batch=512, nstate=64, meas_factor=4):
          bound="HBM (problem-data stream per attempt)")
 
 
+def bench_e2e_roofline_config3_mega(batch=8192,
+                                    block_batches=(128, 256, 512, 1024)):
+    """The whole-solve Pallas megakernel (ops/pallas_mega.py) on the
+    headline config, swept over lane-tile widths. With the carry
+    resident in VMEM across all attempts, per-solve HBM traffic is one
+    problem read + one result write (~640 B/solve) — the HBM bound
+    drops to ~0.8 ns/SOLVE and the kernel becomes VPU-compute-bound
+    (~8.4 kflop/attempt elementwise). Reported against both bounds;
+    best-effort (a Mosaic lowering failure emits an error row instead
+    of crashing the harness)."""
+    import libdogleg_tpu.models.quadratic_surface as sp
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
+
+    dtype = jnp.float32
+    m, n = sp.NMEAS, sp.NSTATE
+    gx, gy = sp.make_grid(dtype)
+    prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    mxu, hbm = peaks()
+    bytes_solve = 4 * (m + n + n + n * n + n + 6)  # read + write once
+    flops_att = 10 * m + 12 * m + 2 * m * n + 2 * m * n * n \
+        + 2 * (n ** 3 // 3 + 3 * 2 * n * n + 40 * n)
+
+    for bt in block_batches:
+        def run(q, mm):
+            r = megakernel_optimize(sp.products_minor, q, prm,
+                                    problem_data=(mm,),
+                                    shared_data=(gx[:, None],
+                                                 gy[:, None]),
+                                    block_batch=bt)
+            return r.p, r.n_attempts
+        try:
+            _, n_att = jax.jit(run)(p0s, meas)
+            n_att = np.asarray(n_att)
+            useful = int(n_att.sum())
+            dt = measure_loop(lambda q, mm: run(q, mm), p0s, meas)
+        except Exception as e:  # noqa: BLE001 — Mosaic lowering faults
+            emit("end_to_end_config3_megakernel", 0.0, "solves/s",
+                 block_batch=bt, error=f"{type(e).__name__}: {e}"[:300])
+            continue
+        bound_solve = bytes_solve / (hbm * 1e9)
+        emit("end_to_end_config3_megakernel", batch / dt, "solves/s",
+             batch=batch, block_batch=bt, useful_attempts=useful,
+             measured_ns_per_attempt=round(dt / useful * 1e9, 2),
+             hbm_bound_ns_per_solve=round(bound_solve * 1e9, 3),
+             hbm_bound_solves_per_s=round(1.0 / bound_solve),
+             flops_per_attempt=flops_att,
+             sol_frac_hbm=round(bound_solve / (dt / batch), 4),
+             bound="HBM one-pass per solve; kernel is VPU-compute-bound")
+
+
+def bench_e2e_roofline_config3f_mega(batch=8192,
+                                     block_batches=(256, 1024)):
+    """Config 3f (sufficient statistics) inside the megakernel: the
+    compound of both round-3 remedies plus VMEM residency. Per-solve
+    HBM traffic is ~296 B (14 f32 of statistics + p0 in, results out);
+    per-attempt VPU work ~1 kflop (compensated G c - h + hand-applied
+    T structure) — ~8x less than the general kernel's measurement
+    stream."""
+    import libdogleg_tpu.models.quadratic_surface as sp
+    from libdogleg_tpu import DoglegParameters
+    from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
+
+    dtype = jnp.float32
+    n = sp.NSTATE
+    prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+    keys = jax.random.split(jax.random.PRNGKey(0), batch)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(keys)
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    G_pair = sp.gram_pair(dtype)
+    hh, hl, nh, nl = jax.vmap(sp.factored_statistics)(meas)
+    stats = (hh, hl, nh[:, None], nl[:, None])
+    mxu, hbm = peaks()
+    bytes_solve = 4 * (14 + n + n + n * n + n + 6)
+
+    for bt in block_batches:
+        def run(q, s):
+            r = megakernel_optimize(sp.factored_products_minor, q, prm,
+                                    problem_data=s,
+                                    shared_data=G_pair,
+                                    block_batch=bt)
+            return r.p, r.n_attempts
+        try:
+            _, n_att = jax.jit(run)(p0s, stats)
+            useful = int(np.asarray(n_att).sum())
+            dt = measure_loop(lambda q, s: run(q, s), p0s, stats)
+        except Exception as e:  # noqa: BLE001 — Mosaic lowering faults
+            emit("end_to_end_config3f_megakernel", 0.0, "solves/s",
+                 block_batch=bt, error=f"{type(e).__name__}: {e}"[:300])
+            continue
+        bound_solve = bytes_solve / (hbm * 1e9)
+        emit("end_to_end_config3f_megakernel", batch / dt, "solves/s",
+             batch=batch, block_batch=bt, useful_attempts=useful,
+             measured_ns_per_attempt=round(dt / useful * 1e9, 2),
+             hbm_bound_ns_per_solve=round(bound_solve * 1e9, 3),
+             sol_frac_hbm=round(bound_solve / (dt / batch), 4),
+             bound="HBM one-pass per solve; VPU-compute-bound")
+
+
 def bench_e2e_loop_overhead_sweep(batches=(512, 2048, 8192, 32768),
                                   layouts=("leading", "minor")):
     """Tests the roofline's residual-gap hypothesis (docs/ROOFLINE.md): if
@@ -460,4 +568,6 @@ if __name__ == "__main__":
     bench_e2e_roofline_config3()
     bench_e2e_roofline_config3f()
     bench_e2e_roofline_config8()
+    bench_e2e_roofline_config3_mega()
+    bench_e2e_roofline_config3f_mega()
     bench_e2e_loop_overhead_sweep()

@@ -67,6 +67,111 @@ def jacobian(p: jnp.ndarray, gx: jnp.ndarray, gy: jnp.ndarray) -> jnp.ndarray:
     ], axis=-1)
 
 
+def products_minor(p: jnp.ndarray, meas: jnp.ndarray,
+                   X: jnp.ndarray, Y: jnp.ndarray):
+    """Batch-MINOR products for ops.pallas_mega.megakernel_optimize:
+    p (6, bt), meas (nmeas, bt), X/Y (nmeas, 1) grid columns (pass via
+    shared_data — Pallas kernels cannot capture array constants) ->
+    (norm2 (1, bt), Jt_x (6, bt), JtJ (6, 6, bt)). Same math as
+    model()/jacobian() with the batch in the lane dimension; built from
+    broadcasts only, traceable inside a Pallas kernel."""
+    x = (p[0:1] * p[1:2] * X * X + p[1:2] * p[2:3] * Y * Y
+         + p[2:3] * X * Y + p[3:4] * X + p[4:5] * Y + p[5:6]
+         - meas)              # (m, bt)
+    ones = jnp.ones_like(x[:, :1] * p[0:1])  # (m, bt) of ones
+    J = [p[1:2] * X * X,
+         p[0:1] * X * X + p[2:3] * Y * Y,
+         p[1:2] * Y * Y + X * Y,
+         X * ones, Y * ones, ones]           # 6 x (m, bt)
+    norm2 = jnp.sum(x * x, axis=0, keepdims=True)
+    jtx = jnp.concatenate(
+        [jnp.sum(Jk * x, axis=0, keepdims=True) for Jk in J], axis=0)
+    rows = []
+    for a in range(6):
+        rows.append(jnp.concatenate(
+            [jnp.sum(J[a] * J[b], axis=0, keepdims=True)
+             for b in range(6)], axis=0))
+    jtj = jnp.stack(rows, axis=0)            # (6, 6, bt)
+    return norm2, jtx, jtj
+
+
+def factored_products_minor(p, h_hi, h_lo, n2m_hi, n2m_lo, Ghi, Glo):
+    """Batch-MINOR factored (sufficient-statistics) products for
+    ops.pallas_mega.megakernel_optimize — config 3f inside the kernel.
+
+    Args (bt = lane-tile width):
+      p (6, bt); per-element tiles h_hi/h_lo (6, bt) and n2m_hi/n2m_lo
+      (1, bt) from factored_statistics (pass n2m components reshaped to
+      (B, 1)); shared Ghi/Glo (6, 6) from gram_pair.
+
+    The cancelling combinations (G c - h, m.m - c.h) run in compensated
+    double-f32 exactly like FactoredBasisProblem.products, with the
+    pairwise reduction replaced by a sequential two_sum cascade (same
+    O(eps^2) error class, kernel-friendly unrolled form). T's structure
+    is hand-applied (8 nonzero entries), so JtJ/Jt_x assembly is ~40
+    elementwise ops instead of two 6x6 matmuls per lane."""
+    from libdogleg_tpu.ops.compensated import two_prod, two_sum
+
+    # coefficients c = [p0 p1, p1 p2, p2, p3, p4, p5]   (6, bt)
+    c = [p[0:1] * p[1:2], p[1:2] * p[2:3], p[2:3],
+         p[3:4], p[4:5], p[5:6]]
+
+    # (G c) as compensated pairs, row by row (Ghi/Glo entries are (1,1))
+    gh, gl = [], []
+    for i in range(6):
+        s, lo = two_prod(Ghi[i:i + 1, 0:1], c[0])
+        lo = lo + Glo[i:i + 1, 0:1] * c[0]
+        for j in range(1, 6):
+            pj, pe = two_prod(Ghi[i:i + 1, j:j + 1], c[j])
+            s, se = two_sum(s, pj)
+            lo = lo + pe + se + Glo[i:i + 1, j:j + 1] * c[j]
+        gh.append(s)
+        gl.append(lo)
+
+    # g = (G c - h) collapsed; the pair keeps the cancellation exact
+    g = []
+    for i in range(6):
+        s, e = two_sum(gh[i], -h_hi[i:i + 1])
+        g.append(s + (gl[i] - h_lo[i:i + 1] + e))
+
+    # Jt_x = T^T g with T's sparsity hand-applied
+    jtx = jnp.concatenate([
+        p[1:2] * g[0],
+        p[0:1] * g[0] + p[2:3] * g[1],
+        p[1:2] * g[1] + g[2],
+        g[3], g[4], g[5]], axis=0)
+
+    # JtJ = T^T (Ghi + Glo) T: M = G T column-wise, then rows of T^T M
+    Gf = Ghi + Glo                      # (6, 6) shared, collapsed
+    M = []                              # 6 columns, each (6, bt)
+    col_g = lambda j: Gf[:, j:j + 1]    # (6, 1)
+    M.append(col_g(0) * p[1:2])
+    M.append(col_g(0) * p[0:1] + col_g(1) * p[2:3])
+    M.append(col_g(1) * p[1:2] + col_g(2))
+    ones = jnp.ones_like(p[0:1])
+    for j in (3, 4, 5):
+        M.append(col_g(j) * ones)
+    Mm = jnp.stack(M, axis=1)           # (6, 6, bt): Mm[i, b]
+    jtj = jnp.stack([
+        p[1:2] * Mm[0],
+        p[0:1] * Mm[0] + p[2:3] * Mm[1],
+        p[1:2] * Mm[1] + Mm[2],
+        Mm[3], Mm[4], Mm[5]], axis=0)   # (6, 6, bt)
+
+    # norm2 = c.g + ((m.m) - c.h), the second term compensated
+    cg = sum(c[i] * g[i] for i in range(6))
+    wh, wl = two_prod(c[0], h_hi[0:1])
+    wl = wl + c[0] * h_lo[0:1]
+    for i in range(1, 6):
+        pi, pe = two_prod(c[i], h_hi[i:i + 1])
+        wh, se = two_sum(wh, pi)
+        wl = wl + pe + se + c[i] * h_lo[i:i + 1]
+    uh, ue = two_sum(n2m_hi, -wh)
+    norm2 = cg + (uh + (n2m_lo - wl + ue))
+    norm2 = jnp.maximum(norm2, jnp.zeros_like(norm2))
+    return norm2, jtx, jtj
+
+
 def simulate(key: jax.Array, dtype=jnp.float64,
              noise: float = 1.0) -> jnp.ndarray:
     """Noisy measurements: truth +- 0.5*noise units uniform (sample.c:46-62)."""

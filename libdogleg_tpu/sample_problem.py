@@ -21,6 +21,7 @@ from libdogleg_tpu.models.quadratic_surface import (  # noqa: F401
     make_residual_problem,
     make_sparse_problem,
     model,
+    products_minor,
     residuals,
     simulate,
 )
