@@ -39,6 +39,9 @@ ARTIFACTS = {
                                  True, 3600),
     "BENCH_SCALING_{tag}.json": ([sys.executable, "bench_scaling.py"],
                                  False, 3600),
+    # --cpu is swapped out at runtime when the TPU probe succeeds (the
+    # ours-side rows then run on the chip; the reference rows are host
+    # CPU either way)
     "BENCH_CPU_REF.json":       ([sys.executable, "bench_cpu_ref.py",
                                   "--cpu"], False, 7200),
 }
@@ -105,6 +108,8 @@ def main():
 
     for name_tpl, (cmd, needs_tpu, timeout_s) in ARTIFACTS.items():
         name = name_tpl.format(tag=tag)
+        if "bench_cpu_ref.py" in " ".join(cmd) and tpu_ok:
+            cmd = [c for c in cmd if c != "--cpu"]
         if args.only and not any(s in name for s in args.only.split(",")):
             manifest["artifacts"][name] = {"status": "skipped",
                                            "why": "--only filter"}

@@ -367,6 +367,8 @@ def megakernel_optimize(products_minor: Callable,
                         problem_data=(),
                         shared_data=(),
                         block_batch: int = 128,
+                        mesh=None,
+                        axis_name: str = "dp",
                         interpret: bool = False) -> SolveResult:
     """Solve a batch of small dense problems in one whole-solve kernel.
 
@@ -385,12 +387,41 @@ def megakernel_optimize(products_minor: Callable,
       shared_data: tuple of batch-independent arrays, passed to every
         grid program whole (replicated reads; keep them small).
       block_batch: problems per grid program (the lane-tile width).
+      mesh/axis_name: if given, shard the batch over this mesh axis via
+        shard_map — each device runs the kernel on its local batch
+        slice (solves are independent; zero communication). B must be
+        divisible by (mesh size x block_batch). shared_data is
+        replicated.
       interpret: run in the Pallas interpreter (CPU test mode).
 
     Returns a SolveResult (history=None) with batch-leading leaves.
     """
     prm = parameters if parameters is not None else DoglegParameters()
     B, n = p0_batch.shape
+
+    if mesh is not None:
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        def local_solve(p0_l, *data_l):
+            return megakernel_optimize(
+                products_minor, p0_l, prm, problem_data=data_l,
+                shared_data=shared_data, block_batch=block_batch,
+                interpret=interpret)
+
+        dp = P(axis_name)
+        in_specs = (dp,) + tuple(dp for _ in problem_data)
+        out_specs = SolveResult(
+            p=dp, norm2_x=dp, Jt_x=dp, JtJ=dp, step_count=dp,
+            n_attempts=dp, reason=dp, trustregion=dp, lam=dp,
+            history=None)
+        # check_vma=False: pallas_call's out ShapeDtypeStructs carry no
+        # varying-mesh-axes annotation, and everything here is trivially
+        # per-shard (no collectives)
+        return shard_map(local_solve, mesh=mesh, in_specs=in_specs,
+                         out_specs=out_specs,
+                         check_vma=False)(p0_batch, *problem_data)
+
     if B % block_batch:
         raise ValueError(f"batch {B} not divisible by block_batch "
                          f"{block_batch}")

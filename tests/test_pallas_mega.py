@@ -195,3 +195,83 @@ def test_megakernel_factored_config3f():
                                   np.asarray(r_ref.reason))
     err = np.abs(np.asarray(r.p) - sp.P_TRUE[None])
     assert np.mean(np.all(err < 0.2, axis=1)) == 1.0
+
+
+def test_megakernel_sharded():
+    """megakernel x mesh: shard_map runs the kernel per device on its
+    local batch slice (independent solves, zero communication);
+    results identical to the unsharded kernel and dp-sharded at the
+    boundary."""
+    from jax.sharding import PartitionSpec as P
+
+    from libdogleg_tpu.parallel import make_mesh
+    gx, gy, meas, p0s, _ = _setup(jnp.float64, 256)
+    mesh = make_mesh(("dp",))
+    prm = DoglegParameters()
+    r_ref = _mega(p0s, meas, gx, gy, prm, block_batch=32)
+    r = megakernel_optimize(
+        sp.products_minor, p0s, prm, problem_data=(meas,),
+        shared_data=(gx[:, None], gy[:, None]), block_batch=32,
+        mesh=mesh, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r.step_count),
+                                  np.asarray(r_ref.step_count))
+    np.testing.assert_array_equal(np.asarray(r.reason),
+                                  np.asarray(r_ref.reason))
+    np.testing.assert_allclose(np.asarray(r.p), np.asarray(r_ref.p),
+                               rtol=1e-12, atol=1e-14)
+    assert r.p.sharding.spec == P("dp")
+
+
+def test_megakernel_n3_curve_fit():
+    """Generality in n: the exponential curve-fit model (n=3, the
+    config-2 workload) through the same kernel, with the in-kernel
+    transcendental (exp) in the products."""
+    from libdogleg_tpu.models import curve_fit
+    dtype = jnp.float64
+    batch = 64
+    meas = jax.vmap(lambda k: curve_fit.simulate(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: curve_fit.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    m = meas.shape[1]
+    t = curve_fit.make_t(m, dtype)
+
+    def products_minor(p, meas_t, t_col):
+        e = jnp.exp(p[1:2] * t_col)                 # (m, bt)
+        x = p[0:1] * e + p[2:3] - meas_t
+        J = [e, p[0:1] * t_col * e,
+             jnp.ones_like(x)]
+        norm2 = jnp.sum(x * x, axis=0, keepdims=True)
+        jtx = jnp.concatenate(
+            [jnp.sum(Jk * x, axis=0, keepdims=True) for Jk in J], 0)
+        jtj = jnp.stack([jnp.concatenate(
+            [jnp.sum(J[a] * J[b], axis=0, keepdims=True)
+             for b in range(3)], 0) for a in range(3)], 0)
+        return norm2, jtx, jtj
+
+    def products(p, mm):
+        x = curve_fit.model(p, t) - mm
+        J = curve_fit.jacobian(p, t)
+        return Products(norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters()
+    r_ref = batched_optimize(products, p0s, prm, problem_data=meas)
+    r = megakernel_optimize(products_minor, p0s, prm,
+                            problem_data=(meas,),
+                            shared_data=(t[:, None],),
+                            block_batch=32, interpret=True)
+    np.testing.assert_array_equal(np.asarray(r.step_count),
+                                  np.asarray(r_ref.step_count))
+    np.testing.assert_array_equal(np.asarray(r.reason),
+                                  np.asarray(r_ref.reason))
+    # curve fits from bad starts can run out the attempt budget along a
+    # flat p0/p2 valley, where 100+ attempts compound last-bit
+    # differences; compare parameters on the converged elements (the
+    # decision parity above covers everyone)
+    conv = np.isin(np.asarray(r_ref.reason),
+                   [int(StopReason.GRADIENT_CONVERGED),
+                    int(StopReason.SMALL_STEP)])
+    assert conv.mean() >= 0.4
+    np.testing.assert_allclose(np.asarray(r.p)[conv],
+                               np.asarray(r_ref.p)[conv],
+                               rtol=1e-9, atol=1e-11)
