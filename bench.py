@@ -114,6 +114,21 @@ def main():
             return r.p, r.step_count.astype(jnp.float32)
         return solve_one_batch
 
+    # sufficient-statistics reformulation (docs/ROOFLINE.md remedy 2,
+    # config 3f): J never materializes and the measurement stream is
+    # replaced by 14 f32 of per-instance statistics. Solves the SAME
+    # problem instances; the correctness gate below applies unchanged.
+    G_pair = sp.gram_pair(dtype)
+
+    def solver_factored(layout):
+        def solve_one_batch(p0s, meas_batch):
+            stats = jax.vmap(sp.factored_statistics)(meas_batch)
+            r = batched_optimize_compacted(
+                lambda p, st: sp.factored_products(p, st, G_pair),
+                p0s, prm, problem_data=stats, layout=layout)
+            return r.p, r.step_count.astype(jnp.float32)
+        return solve_one_batch
+
     # Warmup / compile + correctness gate ON THE TIMED PROGRAMS: a
     # regression in the compaction path must fail the gate, not just a
     # separate CPU test (advisor round-1 finding). Contenders: both
@@ -124,6 +139,8 @@ def main():
     # instead of zeroing the headline.
     contenders = [("leading", solver_for("leading"), True),
                   ("minor", solver_for("minor"), True),
+                  ("factored-leading", solver_factored("leading"), True),
+                  ("factored-minor", solver_factored("minor"), True),
                   ("mega-256", solver_mega(256), False),
                   ("mega-1024", solver_mega(1024), False)]
     best = None
