@@ -182,12 +182,58 @@ def factored():
                       "ns_per_attempt": dt / useful * 1e9}))
 
 
+def unroll_sweep():
+    """wavefront_unroll A/B: does composing k attempts per while_loop
+    wavefront amortize the carry HBM round-trip (XLA fusing across the
+    chained bodies), or do the inner control-flow boundaries
+    (lambda-escalation while, lazy-GN cond) force the carry to
+    materialize between attempts anyway? Runs the factored program
+    (fewest non-carry bytes, so any carry amortization shows largest)
+    and the general one, k in {1, 2, 4}."""
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(1), BATCH))
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=DTYPE))(
+        jax.random.split(jax.random.PRNGKey(0), BATCH))
+    G_pair = sp.gram_pair(DTYPE)
+    stats = jax.vmap(sp.factored_statistics)(meas)
+    gx, gy = sp.make_grid(DTYPE)
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return Products(norm2_x=x @ x,
+                        Jt_x=jnp.matmul(J.T, x,
+                                        preferred_element_type=DTYPE),
+                        JtJ=jnp.matmul(J.T, J,
+                                       preferred_element_type=DTYPE))
+
+    for tag, prod, data in (
+            ("factored",
+             lambda p, st: sp.factored_products(p, st, G_pair), stats),
+            ("general", products, meas)):
+        for k in (1, 2, 4):
+            def run(q, s, _k=k, _prod=prod):
+                r = batched_optimize_compacted(
+                    _prod, q, PRM, problem_data=s, wavefront_unroll=_k)
+                return r.p, r.n_attempts
+
+            f = jax.jit(run)
+            _, na = f(p0s, data)
+            useful = int(np.sum(np.asarray(na)))
+            dt = measure_loop(lambda q, s: run(q, s), p0s, data)
+            print(json.dumps({"exp": f"unroll_{tag}", "unroll": k,
+                              "solves_per_s": BATCH / dt,
+                              "useful_attempts": useful,
+                              "ns_per_attempt": dt / useful * 1e9}))
+
+
 if __name__ == "__main__":
     import sys
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     fns = dict(headline=headline, plain=plain_uncompacted,
                batch_minor=batch_minor, headline_minor=headline_minor,
-               factored=factored, factored_minor=factored_minor)
+               factored=factored, factored_minor=factored_minor,
+               unroll=unroll_sweep)
     for name, fn in fns.items():
         if which in (name, "all"):
             fn()

@@ -94,7 +94,8 @@ def batched_optimize(products_fn,
                      newton_solver=None,
                      layout: str = "leading",
                      record_history: bool = False,
-                     history_capacity: Optional[int] = None) -> SolveResult:
+                     history_capacity: Optional[int] = None,
+                     wavefront_unroll: int = 1) -> SolveResult:
     """Solve a batch of independent problems, optionally mesh-sharded.
 
     Args:
@@ -126,6 +127,8 @@ def batched_optimize(products_fn,
         leading batch axis like every other result leaf) — the reference's
         only observability stream (dogleg.c:42-113), reachable from the
         production batched path.
+      wavefront_unroll: attempts composed per while_loop wavefront
+        (exact — the body freezes done lanes). See solver.run_solver.
 
     Returns a SolveResult whose leaves carry the leading batch axis.
     """
@@ -138,13 +141,15 @@ def batched_optimize(products_fn,
         solve_one = lambda p0: solve_products(
             products_fn, p0, prm, newton_solver=newton_solver,
             record_history=record_history,
-            history_capacity=history_capacity)
+            history_capacity=history_capacity,
+            wavefront_unroll=wavefront_unroll)
         args = (p0_batch,)
     else:
         solve_one = lambda p0, data: solve_products(
             lambda p: products_fn(p, data), p0, prm,
             newton_solver=newton_solver, record_history=record_history,
-            history_capacity=history_capacity)
+            history_capacity=history_capacity,
+            wavefront_unroll=wavefront_unroll)
         args = (p0_batch, problem_data)
 
     if layout == "minor":
@@ -181,7 +186,8 @@ def batched_optimize_compacted(products_fn,
                                newton_solver=None,
                                layout: str = "leading",
                                record_history: bool = False,
-                               history_capacity: Optional[int] = None):
+                               history_capacity: Optional[int] = None,
+                               wavefront_unroll: int = 1):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
@@ -265,19 +271,25 @@ def batched_optimize_compacted(products_fn,
                                      history_capacity=history_capacity)
 
         def seg_one(st, d, k):
+            # unroll composes with segmentation: a k=wavefront_unroll
+            # budget runs as exactly one unrolled wavefront (the body
+            # satisfies the attempt budget in one loop iteration)
             return run_solver(products_of(d), st, prm, max_new_attempts=k,
-                              newton_solver=newton_solver)
+                              newton_solver=newton_solver,
+                              wavefront_unroll=wavefront_unroll)
 
         st = bvmap(init_one)(p0s, data)
         if phase1_attempts is not None:
             st = bvmap(lambda s, d: seg_one(s, d, phase1_attempts))(
                 st, data)
         else:
-            # adaptive: stop full-width work exactly when the stragglers
-            # fit the compact buffer (or everyone terminated)
+            # adaptive: stop full-width work when the stragglers fit the
+            # compact buffer (or everyone terminated). The fit check runs
+            # once per (possibly unrolled) wavefront.
             st = jax.lax.while_loop(
                 lambda s: jnp.sum(~s.done) > cap,
-                lambda s: bvmap(lambda si, d: seg_one(si, d, 1))(s, data),
+                lambda s: bvmap(lambda si, d: seg_one(
+                    si, d, wavefront_unroll))(s, data),
                 st)
 
         # compact the stragglers (duplicate fill indices are harmless:
@@ -303,9 +315,9 @@ def batched_optimize_compacted(products_fn,
         else:
             take = lambda x: jax.tree_util.tree_map(
                 lambda a: gather(a, idx), x)
-        sub = bvmap(lambda s, d: run_solver(products_of(d), s, prm,
-                                            newton_solver=newton_solver))(
-            take(st), take(data))
+        sub = bvmap(lambda s, d: run_solver(
+            products_of(d), s, prm, newton_solver=newton_solver,
+            wavefront_unroll=wavefront_unroll))(take(st), take(data))
         st = jax.tree_util.tree_map(
             lambda full, part: scatter(full, idx, part), st, sub)
 

@@ -189,6 +189,7 @@ def solve_products(products_fn: ProductsFn,
                    newton_solver=None,
                    record_history: bool = False,
                    history_capacity: Optional[int] = None,
+                   wavefront_unroll: int = 1,
                    debug: bool = False) -> SolveResult:
     """Run the dog-leg trust-region optimization.
 
@@ -212,7 +213,8 @@ def solve_products(products_fn: ProductsFn,
                               record_history=record_history,
                               history_capacity=history_capacity)
     final = run_solver(products_fn, state, parameters,
-                       newton_solver=newton_solver, debug=debug)
+                       newton_solver=newton_solver,
+                       wavefront_unroll=wavefront_unroll, debug=debug)
     return result_from_state(final)
 
 
@@ -273,12 +275,21 @@ def run_solver(products_fn: ProductsFn,
                *,
                newton_solver=None,
                max_new_attempts: Optional[int] = None,
+               wavefront_unroll: int = 1,
                debug: bool = False) -> "_Carry":
     """Advance the solve until termination (default) or for at most
     max_new_attempts further step attempts — the segmented form used for
     checkpointed long runs. Jittable and vmappable; resuming from a saved
     state continues the iteration exactly (all caches, lambda, and the
-    trust region live in the state)."""
+    trust region live in the state).
+
+    wavefront_unroll > 1 composes the attempt body k times per
+    while_loop iteration. EXACT for the default full-run form (the body
+    freezes done lanes, so extra applications are identity); under
+    max_new_attempts the attempt budget is rounded up to a multiple of
+    k. Purpose: amortize the batched carry's HBM round-trip + wavefront
+    dispatch over k attempts where XLA can fuse across the chained
+    bodies (docs/ROOFLINE.md, measured by exp_roofline.py)."""
     prm = parameters if parameters is not None else DoglegParameters()
     ns = newton_solver if newton_solver is not None else DenseNewtonSolver()
     max_attempts = prm.resolved_max_attempts()
@@ -533,7 +544,14 @@ def run_solver(products_fn: ProductsFn,
     else:
         limit = state.n_attempts + max_new_attempts
         cond = lambda c: (~c.done) & (c.n_attempts < limit)
-    return jax.lax.while_loop(cond, attempt, state)
+
+    body = attempt
+    if wavefront_unroll > 1:
+        def body(c, _k=wavefront_unroll):
+            for _ in range(_k):
+                c = attempt(c)
+            return c
+    return jax.lax.while_loop(cond, body, state)
 
 
 def result_from_state(state: "_Carry") -> SolveResult:

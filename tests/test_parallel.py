@@ -558,3 +558,39 @@ def test_compacted_record_history():
     for got, ref in zip(r.history, r_ref.history):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=1e-12, atol=0)
+
+
+def test_wavefront_unroll_exact():
+    """wavefront_unroll composes the attempt body k times per while_loop
+    wavefront (amortizing the carry HBM round-trip, docs/ROOFLINE.md);
+    the body freezes done lanes, so results must be bit-identical in
+    both batched entry points, including n_attempts."""
+    from libdogleg_tpu.parallel.batched import batched_optimize_compacted
+    batch = 64
+    meas = jax.vmap(lambda k: sp.simulate(k))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    gx, gy = sp.make_grid()
+
+    def products(p, m):
+        x = sp.model(p, gx, gy) - m
+        J = sp.jacobian(p, gx, gy)
+        return solve_products.__globals__["Products"](
+            norm2_x=x @ x, Jt_x=J.T @ x, JtJ=J.T @ J)
+
+    prm = DoglegParameters(max_iterations=8)
+    for entry, kwargs in ((batched_optimize, {}),
+                          (batched_optimize_compacted, {}),
+                          (batched_optimize_compacted,
+                           {"layout": "minor"})):
+        r0 = entry(products, p0s, prm, problem_data=meas, **kwargs)
+        r3 = entry(products, p0s, prm, problem_data=meas,
+                   wavefront_unroll=3, **kwargs)
+        np.testing.assert_array_equal(np.asarray(r0.step_count),
+                                      np.asarray(r3.step_count))
+        np.testing.assert_array_equal(np.asarray(r0.n_attempts),
+                                      np.asarray(r3.n_attempts))
+        np.testing.assert_array_equal(np.asarray(r0.reason),
+                                      np.asarray(r3.reason))
+        np.testing.assert_array_equal(np.asarray(r0.p), np.asarray(r3.p))
