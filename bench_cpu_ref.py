@@ -436,10 +436,10 @@ def main():
         emit(rec)
 
     ref_best = max(r["solves_per_s"] for r in records
-                   if r["side"] == "reference-cpu"
-                   and "latency" not in r["mode"])
-    ours = next(r for r in records if r["side"] == "ours"
-                and r["mode"] == "ours-batched-compacted")
+                   if r.get("side") == "reference-cpu"
+                   and "latency" not in r.get("mode", ""))
+    ours = next(r for r in records if r.get("side") == "ours"
+                and r.get("mode") == "ours-batched-compacted")
     summary = {
         "metric": "ours_vs_reference_cpu",
         "ours_solves_per_s": ours["solves_per_s"],

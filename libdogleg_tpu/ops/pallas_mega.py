@@ -107,6 +107,19 @@ def _quad_form_minor(JtJ, v):
     return jnp.sum(v * mv, axis=0, keepdims=True)
 
 
+def _conc(v, anchor):
+    """Force a (1, bt) row into a CONCRETE sublane layout.
+
+    Mosaic gives keepdims-reduce results a sublane-REPLICATED vector
+    layout; `select_n` cannot join a replicated operand with a
+    concretely-laid-out while-loop carry ("Not implemented: Sublane
+    broadcast", measured on v5e — minimal repro in BENCH_NOTES_r04.md).
+    Elementwise arithmetic CAN join them, so adding a concrete zero
+    (anchor * 0, not constant-folded by Mosaic: 0*x is unsound float
+    folding) relayouts v at the cost of two vector ops."""
+    return v + anchor * jnp.zeros_like(anchor)
+
+
 def _gauss_newton_minor(JtJ, g, lam, need, *, lambda_initial,
                         lambda_max_tries):
     """Masked escalating-lambda GN solve (reference dogleg.c:670-676).
@@ -125,6 +138,7 @@ def _gauss_newton_minor(JtJ, g, lam, need, *, lambda_initial,
         return _chol_minor(JtJ + eye * lam_v[None])
 
     L, ok = factor(lam)
+    ok = _conc(ok, lam)
 
     def cond(c):
         _, _, ok_c, tries = c
@@ -138,12 +152,12 @@ def _gauss_newton_minor(JtJ, g, lam, need, *, lambda_initial,
                         jnp.asarray(lambda_initial, dt), lam_c * 10.0)
         lam_n = jnp.where(fail > 0.5, esc, lam_c)
         L_n, ok_n = factor(lam_n)
-        return L_n, lam_n, ok_n, tries + 1
+        return L_n, lam_n, _conc(ok_n, lam_n), tries + 1
 
     L, lam, ok, _ = jax.lax.while_loop(
         cond, body, (L, lam, ok, jnp.asarray(0, jnp.int32)))
     step = -_cho_solve_minor(L, g)
-    n2 = jnp.sum(step * step, axis=0, keepdims=True)
+    n2 = _conc(jnp.sum(step * step, axis=0, keepdims=True), lam)
     fac_ok = jnp.minimum(ok + (1.0 - need), 1.0)
     return step, n2, lam, fac_ok
 
@@ -154,7 +168,9 @@ def _gauss_newton_minor(JtJ, g, lam, need, *, lambda_initial,
 
 
 def _make_kernel(products_minor: Callable, n: int, n_data: int,
-                 n_shared: int, prm: DoglegParameters):
+                 n_shared: int, prm: DoglegParameters,
+                 _debug_attempts: int = 0,
+                 _debug_freeze: tuple = ()):
     """Build the kernel body. products_minor(p (n, bt), *data_tiles,
     *shared) -> (norm2 (1, bt), Jt_x (n, bt), JtJ (n, n, bt))."""
     max_attempts = prm.resolved_max_attempts()
@@ -173,31 +189,41 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
         def products(p):
             return products_minor(p, *data)
 
+        p0 = p0_ref[:]
+        anchor0 = p0[0:1]   # concrete-layout (1, bt) row for _conc
+
         def grad_converged(g):
-            return (jnp.max(jnp.abs(g), axis=0, keepdims=True)
+            return (_conc(jnp.max(jnp.abs(g), axis=0, keepdims=True),
+                          anchor0)
                     <= f(prm.Jt_x_threshold))
 
-        p0 = p0_ref[:]
         norm2_0, jtx_0, jtj_0 = products(p0)
-        one = jnp.ones_like(norm2_0)
-        zero = jnp.zeros_like(norm2_0)
-        izero = jnp.zeros(norm2_0.shape, jnp.int32)
+        norm2_0 = _conc(norm2_0, anchor0)
+        zero = anchor0 * f(0.0)   # concrete zero row (splat inits can
+        #                           mismatch the body layout in a carry)
+        one = zero + f(1.0)
 
         conv0 = grad_converged(jtx_0)
-        reason0 = jnp.where(conv0, int(R.GRADIENT_CONVERGED),
-                            int(R.RUNNING)).astype(jnp.int32)
+        reason0 = jnp.where(conv0, f(int(R.GRADIENT_CONVERGED)),
+                            f(int(R.RUNNING)))
         zvec = jnp.zeros_like(p0)
 
         # carry: p, norm2, Jt_x, JtJ, cauchy, n2_cauchy, have_cauchy,
         #        gn, n2_gn, have_gn, lam, tr, step_count, n_attempts,
-        #        done, reason — per-lane flags are f32 0/1 (i1 vector
-        #        loop carries crash Mosaic lowering; see
-        #        ops/pallas_blockchol.py pitfall list)
+        #        done, reason — per-lane flags AND counters/reasons are
+        #        f32 rows (exact for these small ints): i1 vector loop
+        #        carries crash Mosaic lowering (ops/pallas_blockchol.py
+        #        pitfall list), and MIXING an int32 row with an f32 row
+        #        in the while carry trips a Mosaic layout-join fault
+        #        ("Not implemented: Sublane broadcast" — minimal repro:
+        #        n_attempts int32 + done f32 live, everything else
+        #        frozen; see BENCH_NOTES_r04.md). int32 results are cast
+        #        at the output store only.
         carry0 = (p0, norm2_0, jtx_0, jtj_0,
                   zvec, zero, zero,
                   zvec, zero, zero,
                   zero, one * f(prm.trustregion0),
-                  izero, izero, conv0.astype(dt), reason0)
+                  zero, zero, conv0.astype(dt), reason0)
 
         def attempt(c):
             (p, norm2, jtx, jtj, cauchy, n2_cauchy, have_cauchy,
@@ -207,7 +233,8 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
 
             # --- Cauchy step, cached per operating point
             # (reference dogleg.c:529-617)
-            n2_jtx = jnp.sum(jtx * jtx, axis=0, keepdims=True)
+            n2_jtx = _conc(jnp.sum(jtx * jtx, axis=0, keepdims=True),
+                           tr)
             k_c = -n2_jtx / _quad_form_minor(jtj, jtx)
             cached_c = have_cauchy > 0.5
             cauchy = jnp.where(cached_c, cauchy, k_c * jtx)
@@ -227,7 +254,11 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
             gn = jnp.where(sel, gn_f, gn)
             n2_gn = jnp.where(sel, n2_gn_f, n2_gn)
             lam = jnp.where(sel, lam_f, lam)
-            fac_ok = jnp.where(sel, fac_ok_f > 0.5, True)
+            # fac_ok stays an f32 0/1 row: a bool-vector where OPERAND
+            # lowers as an i8->i1 arith.trunci, which Mosaic rejects
+            # ("Unsupported target bitwidth for truncation") — same
+            # family as the i1-carry pitfall in ops/pallas_blockchol.py
+            fac_ok = jnp.where(sel, fac_ok_f, jnp.ones_like(fac_ok_f))
             have_gn = jnp.minimum(have_gn + need_gn, 1.0)
 
             # --- step selection (reference dogleg.c:1172-1297)
@@ -256,7 +287,8 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
                         - _quad_form_minor(jtj, step))
 
             # --- criterion 2 (reference dogleg.c:1287-1296)
-            small_step = (jnp.max(jnp.abs(step), axis=0, keepdims=True)
+            small_step = (_conc(jnp.max(jnp.abs(step), axis=0,
+                                        keepdims=True), tr)
                           <= f(prm.update_threshold))
 
             # --- trial evaluation (reference dogleg.c:1411); masked
@@ -264,7 +296,8 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
             # lax.cond-under-vmap select
             p_new = p + step
             norm2_t, jtx_t, jtj_t = products(p_new)
-            sk = small_step | (~fac_ok)
+            norm2_t = _conc(norm2_t, tr)
+            sk = small_step | (fac_ok < 0.5)
             norm2_t = jnp.where(sk, norm2, norm2_t)
             jtx_t = jnp.where(sk, jtx, jtx_t)
             jtj_t = jnp.where(sk[None], jtj, jtj_t)
@@ -285,31 +318,32 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
                 decreased, increased)
 
             accept = rho > 0.0
-            n_attempts_new = n_attempts + 1
+            n_attempts_new = n_attempts + 1.0    # f32 counter (see carry0)
             exhausted = n_attempts_new >= max_attempts
-            step_count_acc = step_count + 1
+            step_count_acc = step_count + 1.0
 
             conv_t = grad_converged(jtx_t)
             max_iters = step_count_acc >= prm.max_iterations
             acc_done = conv_t | max_iters | exhausted
             acc_reason = jnp.where(
-                conv_t, int(R.GRADIENT_CONVERGED),
-                jnp.where(max_iters, int(R.MAX_ITERATIONS),
-                          jnp.where(exhausted, int(R.STALLED),
-                                    int(R.RUNNING)))).astype(jnp.int32)
+                conv_t, f(int(R.GRADIENT_CONVERGED)),
+                jnp.where(max_iters, f(int(R.MAX_ITERATIONS)),
+                          jnp.where(exhausted, f(int(R.STALLED)),
+                                    f(int(R.RUNNING)))))
             rej_small_tr = tr_new < f(prm.trustregion_threshold)
             rej_done = rej_small_tr | exhausted
             rej_reason = jnp.where(
-                rej_small_tr, int(R.SMALL_TRUSTREGION),
-                jnp.where(exhausted, int(R.STALLED),
-                          int(R.RUNNING))).astype(jnp.int32)
+                rej_small_tr, f(int(R.SMALL_TRUSTREGION)),
+                jnp.where(exhausted, f(int(R.STALLED)),
+                          f(int(R.RUNNING))))
 
             # --- path combination, matching solver.py's nested
             # tree_where(~fac_ok, failed, where(small_step, small,
             # where(accept, accepted, rejected)))
-            m_fail = ~fac_ok
-            m_small = fac_ok & small_step
-            m_acc = fac_ok & (~small_step) & accept
+            fok = fac_ok > 0.5
+            m_fail = ~fok
+            m_small = fok & small_step
+            m_acc = fok & (~small_step) & accept
             m_keep_tr = m_fail | m_small     # small/failed keep radius
 
             out = (
@@ -329,24 +363,35 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
                 n_attempts_new,
                 jnp.where(
                     m_fail | m_small, 1.0,
-                    jnp.where(m_acc, acc_done, rej_done).astype(dt)),
+                    # bool where-OPERANDS are a Mosaic trunci fault:
+                    # cast to f32 0/1 first
+                    jnp.where(m_acc, acc_done.astype(dt),
+                              rej_done.astype(dt))),
                 jnp.where(
                     m_fail,
                     jnp.full_like(reason,
-                                  int(R.FACTORIZATION_FAILED)),
+                                  float(int(R.FACTORIZATION_FAILED))),
                     jnp.where(
                         m_small,
-                        jnp.full_like(reason, int(R.SMALL_STEP)),
+                        jnp.full_like(reason, float(int(R.SMALL_STEP))),
                         jnp.where(m_acc, acc_reason, rej_reason))),
             )
+            if _debug_freeze:  # Mosaic-bisect: passthrough these leaves
+                out = tuple(old if i in _debug_freeze else new
+                            for i, (old, new) in enumerate(zip(c, out)))
             # freeze terminated lanes
             dm = done > 0.5
             return tuple(
                 jnp.where(dm[None] if old.ndim == 3 else dm, old, new)
                 for old, new in zip(c, out))
 
-        final = jax.lax.while_loop(
-            lambda c: jnp.min(c[14]) < 0.5, attempt, carry0)
+        if _debug_attempts:   # Mosaic-bisect mode: unrolled, no while
+            final = carry0
+            for _ in range(_debug_attempts):
+                final = attempt(final)
+        else:
+            final = jax.lax.while_loop(
+                lambda c: jnp.min(c[14]) < 0.5, attempt, carry0)
         (p, norm2, jtx, jtj, _, _, _, _, _, _, lam, tr,
          step_count, n_attempts, _, reason) = final
 
@@ -355,7 +400,7 @@ def _make_kernel(products_minor: Callable, n: int, n_data: int,
         jtj_ref[:] = jtj.reshape(n * n, jtj.shape[-1])
         fscal_ref[:] = jnp.concatenate([norm2, tr, lam], axis=0)
         iscal_ref[:] = jnp.concatenate(
-            [step_count, n_attempts, reason], axis=0)
+            [step_count, n_attempts, reason], axis=0).astype(jnp.int32)
 
     return kernel
 
@@ -369,7 +414,9 @@ def megakernel_optimize(products_minor: Callable,
                         block_batch: int = 128,
                         mesh=None,
                         axis_name: str = "dp",
-                        interpret: bool = False) -> SolveResult:
+                        interpret: bool = False,
+                        _debug_attempts: int = 0,
+                        _debug_freeze: tuple = ()) -> SolveResult:
     """Solve a batch of small dense problems in one whole-solve kernel.
 
     Args:
@@ -457,7 +504,8 @@ def megakernel_optimize(products_minor: Callable,
         jax.ShapeDtypeStruct((3, B), jnp.int32),
     )
     kernel = _make_kernel(products_minor, n, len(data_minor),
-                          len(shared), prm)
+                          len(shared), prm, _debug_attempts,
+                          _debug_freeze)
     p_m, jtx_m, jtj_m, fscal, iscal = pl.pallas_call(
         kernel,
         grid=grid,
