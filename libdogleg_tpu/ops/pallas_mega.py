@@ -84,20 +84,33 @@ def _chol_minor(A):
 
 
 def _cho_solve_minor(L, b):
-    """Solve L L^T x = b for (n, n, bt) factors and (n, bt) RHS."""
+    """Solve L L^T x = b for (n, n, bt) factors and (n, bt) RHS.
+
+    COLUMN form: each substitution step is one (1, bt) pivot divide plus
+    one (n, bt) saxpy on the running residual — ~4n vector ops total
+    instead of the ~2n^2 row ops of the classic row form. The row form
+    is issue-bound on TPU (each (1, bt) op occupies a fraction of the
+    VPU and the chain is sequential); fewer, wider ops run faster even
+    though they touch more elements. Correctness: column i of lower L
+    has zeros above the diagonal, so the saxpy cannot corrupt unread
+    rows (row i itself is consumed before its update lands)."""
     n = L.shape[0]
+    s = b
     ys = []
-    for i in range(n):
-        s = b[i:i + 1]
-        for k in range(i):
-            s = s - L[i:i + 1, k] * ys[k]
-        ys.append(s / L[i:i + 1, i])
+    for i in range(n):            # forward: L y = b
+        d = s[i:i + 1] / L[i:i + 1, i]
+        ys.append(d)
+        if i + 1 < n:
+            s = s - L[:, i] * d
+    t = jnp.concatenate(ys, axis=0)
     xs = [None] * n
-    for i in reversed(range(n)):
-        s = ys[i]
-        for k in range(i + 1, n):
-            s = s - L[k:k + 1, i] * xs[k]
-        xs[i] = s / L[i:i + 1, i]
+    for i in reversed(range(n)):  # backward: L^T x = y
+        d = t[i:i + 1] / L[i:i + 1, i]
+        xs[i] = d
+        if i:
+            # column i of L^T is row i of L: zeros beyond the diagonal,
+            # so rows > i (already consumed) are untouched
+            t = t - L[i] * d
     return jnp.concatenate(xs, axis=0)
 
 
