@@ -43,6 +43,7 @@ from libdogleg_tpu.problems import (
     optimize,
 )
 from libdogleg_tpu.ops.bcsr import BCSRStructure, BCSRJacobian
+from libdogleg_tpu.ops.pallas_mega import megakernel_optimize
 from libdogleg_tpu.sparsity import bcsr_from_scalar_csr
 
 __all__ = [
@@ -69,6 +70,7 @@ __all__ = [
     "BCSRStructure",
     "BCSRJacobian",
     "bcsr_from_scalar_csr",
+    "megakernel_optimize",
 ]
 
 __version__ = "0.1.0"
