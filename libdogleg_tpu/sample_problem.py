@@ -10,6 +10,7 @@ from libdogleg_tpu.models.quadratic_surface import (  # noqa: F401
     NSTATE,
     P_TRUE,
     factored_products,
+    factored_products_minor,
     factored_statistics,
     gram_pair,
     initial_state,
