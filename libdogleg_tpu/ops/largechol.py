@@ -109,7 +109,8 @@ def _tri_inv(L: jnp.ndarray) -> jnp.ndarray:
     return jnp.concatenate([top, bot], axis=-2)
 
 
-def large_cholesky(A: jnp.ndarray, panel: int = PANEL):
+def large_cholesky(A: jnp.ndarray, panel: int = PANEL,
+                   panel_impl: str = "auto", interpret: bool = False):
     """Cholesky of (..., n, n) SPD with n static and large (>256 is where
     this beats both lax.linalg and blockchol). Returns (L, ok), the
     blockchol/smallchol contract. n is padded to a multiple of SUB with an
@@ -121,7 +122,19 @@ def large_cholesky(A: jnp.ndarray, panel: int = PANEL):
     L every panel (measured on-chip: 1.99 TFLOP/s at n=2048, HBM-copy
     bound, BENCH_KERNELS_r04.json); here each panel touches only the
     remaining (n-j0)^2 block and the factor columns are assembled once
-    at the end."""
+    at the end.
+
+    panel_impl selects the per-panel diagonal-block factorization:
+      "pallas" — ops/pallas_panelchol.py: ONE kernel per panel produces
+        the block factor and its triangular inverse in VMEM, leaving
+        only MXU GEMMs in the XLA graph (the critical-path fix for the
+        2.29-vs-4.48 TFLOP/s gap, BENCH_KERNELS_r04.json);
+      "xla"    — the fori_loop sub-panel form + recursive triangular
+        inverse (no Pallas dependency);
+      "auto"   — "pallas" on the TPU backend, "xla" elsewhere.
+    """
+    if panel_impl == "auto":
+        panel_impl = "pallas" if jax.default_backend() == "tpu" else "xla"
     n = A.shape[-1]
     W, npad = _pad_to_block(A, n, SUB)
     batch = W.shape[:-2]
@@ -129,12 +142,19 @@ def large_cholesky(A: jnp.ndarray, panel: int = PANEL):
     cols = []
     for j0 in range(0, npad, panel):
         pw = min(panel, npad - j0)
-        Lkk, okk = _chol_fori(W[..., :pw, :pw])
+        Tinv = None
+        if panel_impl == "pallas":
+            from libdogleg_tpu.ops.pallas_panelchol import panel_factor
+            Lkk, Tinv, okk = panel_factor(W[..., :pw, :pw],
+                                          interpret=interpret)
+        else:
+            Lkk, okk = _chol_fori(W[..., :pw, :pw])
         ok = okk if ok is None else ok & okk
         parts = [jnp.zeros(batch + (j0, pw), A.dtype), Lkk] if j0 \
             else [Lkk]
         if j0 + pw < npad:
-            Tinv = _tri_inv(Lkk)
+            if Tinv is None:
+                Tinv = _tri_inv(Lkk)
             P = jnp.matmul(W[..., pw:, :pw],
                            jnp.swapaxes(Tinv, -1, -2), precision=_HI)
             W = W[..., pw:, pw:] - jnp.matmul(

@@ -84,6 +84,40 @@ def _auto_newton(products_fn, p0_batch, problem_data):
     return None
 
 
+def _try_megakernel(products_fn, p0_batch, prm, *, mesh, axis_name,
+                    problem_data, newton_solver, record_history,
+                    use_megakernel):
+    """Shared auto-promotion gate: returns a SolveResult when the
+    whole-solve Pallas megakernel took the batch, else None."""
+    from libdogleg_tpu.parallel.mega_auto import (_env_disabled,
+                                                  plan_megakernel)
+    if use_megakernel is False or _env_disabled():
+        return None
+    forced = bool(use_megakernel)
+    if record_history or newton_solver is not None:
+        if forced:
+            raise ValueError(
+                "use_megakernel=True is incompatible with record_history "
+                "and custom newton_solver (ops/pallas_mega.py docstring)")
+        return None
+    plan = plan_megakernel(products_fn, p0_batch, prm,
+                           problem_data=problem_data, mesh=mesh,
+                           axis_name=axis_name, forced=forced)
+    if plan is None:
+        if forced:
+            raise ValueError(
+                "use_megakernel=True but the problem is outside the "
+                "megakernel regime (needs a single (B, n<=16) f32 state "
+                "batch and a dense JtJ)")
+        return None
+    try:
+        return plan()
+    except Exception:
+        if forced:
+            raise
+        return None  # Mosaic lowering/compile fault: XLA path takes it
+
+
 def batched_optimize(products_fn,
                      p0_batch: jnp.ndarray,
                      parameters: Optional[DoglegParameters] = None,
@@ -95,7 +129,8 @@ def batched_optimize(products_fn,
                      layout: str = "leading",
                      record_history: bool = False,
                      history_capacity: Optional[int] = None,
-                     wavefront_unroll: int = 1) -> SolveResult:
+                     wavefront_unroll: int = 1,
+                     use_megakernel: Optional[bool] = None) -> SolveResult:
     """Solve a batch of independent problems, optionally mesh-sharded.
 
     Args:
@@ -129,11 +164,28 @@ def batched_optimize(products_fn,
         production batched path.
       wavefront_unroll: attempts composed per while_loop wavefront
         (exact — the body freezes done lanes). See solver.run_solver.
+      use_megakernel: None (default) auto-selects the whole-solve Pallas
+        megakernel (ops/pallas_mega.py; ~10x the XLA path on the
+        benchmark workload) when the problem fits its regime — TPU
+        backend, (B >= 1024, n <= 16) f32 states, dense JtJ, no
+        history/custom strategy — with an ahead-of-time compile probe
+        and automatic fallback to the XLA path on any lowering fault.
+        True forces it (interpret-mode on non-TPU backends, errors
+        instead of falling back); False disables. The megakernel is
+        exact-decision identical to the XLA path (tested); layout and
+        wavefront_unroll are XLA-path tuning knobs it ignores.
 
     Returns a SolveResult whose leaves carry the leading batch axis.
     """
     _check_layout(layout)
     prm = parameters if parameters is not None else DoglegParameters()
+    mega = _try_megakernel(products_fn, p0_batch, prm, mesh=mesh,
+                           axis_name=axis_name, problem_data=problem_data,
+                           newton_solver=newton_solver,
+                           record_history=record_history,
+                           use_megakernel=use_megakernel)
+    if mega is not None:
+        return mega
     if newton_solver is None:
         newton_solver = _auto_newton(products_fn, p0_batch, problem_data)
 
@@ -187,7 +239,8 @@ def batched_optimize_compacted(products_fn,
                                layout: str = "leading",
                                record_history: bool = False,
                                history_capacity: Optional[int] = None,
-                               wavefront_unroll: int = 1):
+                               wavefront_unroll: int = 1,
+                               use_megakernel: Optional[bool] = None):
     """Batched solves with straggler compaction.
 
     A vmapped while_loop runs until the SLOWEST batch element terminates,
@@ -240,6 +293,16 @@ def batched_optimize_compacted(products_fn,
                                       run_solver)
     _check_layout(layout)
     prm = parameters if parameters is not None else DoglegParameters()
+    # megakernel promotion: when the whole-solve kernel takes the batch,
+    # compaction is moot — its wavefront granularity is already the lane
+    # tile, so a tile only waits for its own slowest member.
+    mega = _try_megakernel(products_fn, p0_batch, prm, mesh=mesh,
+                           axis_name=axis_name, problem_data=problem_data,
+                           newton_solver=newton_solver,
+                           record_history=record_history,
+                           use_megakernel=use_megakernel)
+    if mega is not None:
+        return mega
     batch = jax.tree_util.tree_leaves(p0_batch)[0].shape[0]
     cap = compact_capacity or max(batch // 16, 1)
     if newton_solver is None:
