@@ -65,78 +65,258 @@ _BLOCK_CANDIDATES = (512, 256, 128)
 
 _MAX_UNROLL_FREE = 512  # JtJ at n=16 is 256 entries; beyond this, give up
 
+# Elementwise primitives the minor-batching interpreter passes straight
+# through (per-element broadcasting semantics are preserved by the
+# trailing-lane convention; see _MinorBatch).
+_ELEMENTWISE = frozenset({
+    "add", "sub", "mul", "div", "rem", "pow", "atan2", "max", "min",
+    "and", "or", "xor", "shift_left", "shift_right_logical",
+    "shift_right_arithmetic", "nextafter",
+    "neg", "sign", "floor", "ceil", "round", "abs", "sqrt", "rsqrt",
+    "cbrt", "exp", "exp2", "expm1", "log", "log1p", "logistic", "tanh",
+    "tan", "sin", "cos", "asin", "acos", "atan", "sinh", "cosh",
+    "asinh", "acosh", "atanh", "erf", "erfc", "erf_inv", "is_finite",
+    "not", "integer_pow", "square", "reciprocal",
+    "eq", "ne", "lt", "le", "gt", "ge", "select_n",
+    "convert_element_type", "stop_gradient", "copy", "clamp",
+})
 
-def _dot_as_mulsum(lhs, rhs, *, dimension_numbers, precision=None,
-                   preferred_element_type=None, **_):
-    (lc, rc), (lb, rb) = dimension_numbers
-    l_free = [i for i in range(lhs.ndim) if i not in lc and i not in lb]
-    r_free = [i for i in range(rhs.ndim) if i not in rc and i not in rb]
-    lp = jnp.transpose(lhs, list(lb) + l_free + list(lc))
-    rp = jnp.transpose(rhs, list(rb) + r_free + list(rc))
-    nb, nc = len(lb), len(lc)
-    lf = [lhs.shape[i] for i in l_free]
-    rf = [rhs.shape[i] for i in r_free]
-    import math
-    n_out = math.prod(lf) * math.prod(rf)
-    if n_out > _MAX_UNROLL_FREE or nb:
+_REDUCES = frozenset({"reduce_sum", "reduce_max", "reduce_min",
+                      "reduce_prod", "reduce_and", "reduce_or"})
+
+
+class _MinorBatch:
+    """Evaluate a per-element jaxpr with the batch on a TRAILING lane
+    axis, emitting only Mosaic-provenly-lowerable op forms.
+
+    Why not jax.vmap: its batching rules are free to move the batch
+    dimension to the FRONT internally (concatenate/stack of two or more
+    batched operands measurably does), producing batch-leading
+    intermediates and transposes whose Mosaic lowering faults with an
+    opaque tpu_compile_helper crash (bisected on v5e, round 5); its
+    dot_general rule emits batched TPU_DotDimensionNumbers Mosaic cannot
+    parse at all. This interpreter IS a vmap, with three rules changed:
+
+      * every batched value keeps the lane axis LAST, always — the
+        measured-good discipline of the handwritten batch-minor products
+        (models/quadratic_surface.py) and of ops/pallas_mega.py itself;
+      * dot_general is expanded: free dims transposed to the FRONT
+        (batched 3-D transposes lower fine; middle-axis slicing does
+        not), unrolled entry-by-entry (n <= 16 keeps that small),
+        contractions as elementwise mul + leading-axis sums;
+      * unbatched operands meet batched ones by a trailing unit lane
+        axis, never by materialized broadcast.
+
+    Values are (array, batched) pairs; unbatched values flow through
+    at their per-element shape until an op mixes them with the lane.
+    """
+
+    def __init__(self, bt_name="bt"):
+        self.env = {}
+
+    # -- value plumbing ----------------------------------------------------
+
+    @staticmethod
+    def _aligned(val, batched, rank):
+        """Per-element-broadcast-correct operand: batched values already
+        end in the lane axis; unbatched ones get a unit lane axis, plus
+        leading units so per-element ranks align (numpy aligns right,
+        and the lane axis occupies the last slot)."""
+        if batched:
+            return val
+        v = val[..., None]
+        while v.ndim < rank + 1:
+            v = v[None]
+        return v
+
+    def run(self, jaxpr, const_pairs, arg_pairs):
+        """const_pairs/arg_pairs: lists of (value, batched) bound to the
+        jaxpr's constvars/invars. Returns (value, batched) per outvar."""
+        from jax.extend.core import Literal
+
+        env = {}
+
+        def read(v):
+            if isinstance(v, Literal):
+                return (jnp.asarray(v.val), False)
+            return env[v]
+
+        def write(v, pair):
+            env[v] = pair
+
+        assert len(const_pairs) == len(jaxpr.constvars)
+        assert len(arg_pairs) == len(jaxpr.invars)
+        for var, pair in zip(jaxpr.constvars, const_pairs):
+            write(var, (jnp.asarray(pair[0]), pair[1]))
+        for var, pair in zip(jaxpr.invars, arg_pairs):
+            write(var, (jnp.asarray(pair[0]), pair[1]))
+
+        for eqn in jaxpr.eqns:
+            ins = [read(v) for v in eqn.invars]
+            outs = self._eval_eqn(eqn, ins)
+            for var, pair in zip(eqn.outvars, outs):
+                write(var, pair)
+        return [read(v) for v in jaxpr.outvars]
+
+    # -- op rules ------------------------------------------------------------
+
+    def _eval_eqn(self, eqn, ins):
+        prim = eqn.primitive.name
+        params = eqn.params
+        vals = [v for v, _ in ins]
+        bats = [b for _, b in ins]
+
+        if prim in ("pjit", "custom_jvp_call", "custom_vjp_call",
+                    "custom_vjp_call_jaxpr", "closed_call"):
+            sub = (params.get("jaxpr") or params.get("call_jaxpr")
+                   or params.get("fun_jaxpr"))
+            return self.run(sub.jaxpr,
+                            [(c, False) for c in sub.consts],
+                            list(ins))
+
+        if not any(bats):
+            # pure per-element constant math: evaluate as-is, unbatched
+            out = eqn.primitive.bind(*vals, **params)
+            if not eqn.primitive.multiple_results:
+                out = [out]
+            return [(o, False) for o in out]
+
+        if prim in _ELEMENTWISE:
+            rank = max(v.ndim - (1 if b else 0)
+                       for v, b in zip(vals, bats))
+            ops = [self._aligned(v, b, rank)
+                   for v, b in zip(vals, bats)]
+            # lax primitives take equal shapes only — broadcast
+            # explicitly (jnp-level implicit broadcasting is a
+            # convenience the primitives themselves don't have)
+            shape = jnp.broadcast_shapes(*(o.shape for o in ops))
+            ops = [jnp.broadcast_to(o, shape) for o in ops]
+            return [(eqn.primitive.bind(*ops, **params), True)]
+
+        if prim in _REDUCES:
+            (v,) = vals
+            return [(eqn.primitive.bind(v, **params), True)]
+
+        if prim == "broadcast_in_dim":
+            (v,) = vals
+            bt = v.shape[-1]
+            shape = tuple(params["shape"]) + (bt,)
+            bdims = tuple(params["broadcast_dimensions"]) + (
+                len(shape) - 1,)
+            return [(jax.lax.broadcast_in_dim(v, shape, bdims), True)]
+
+        if prim in ("reshape", "squeeze"):
+            (v,) = vals
+            bt = v.shape[-1]
+            if prim == "squeeze":
+                newshape = tuple(s for i, s in enumerate(v.shape[:-1])
+                                 if i not in params["dimensions"])
+            else:
+                if params.get("dimensions") is not None:
+                    raise NotImplementedError("reshape with dimensions")
+                newshape = tuple(params["new_sizes"])
+            # the lane axis is LAST, so a per-element reshape is exactly
+            # a reshape of the leading axes
+            return [(v.reshape(newshape + (bt,)), True)]
+
+        if prim == "transpose":
+            (v,) = vals
+            perm = tuple(params["permutation"]) + (v.ndim - 1,)
+            return [(jnp.transpose(v, perm), True)]
+
+        if prim == "concatenate":
+            dim = params["dimension"]
+            rank = max(v.ndim - (1 if b else 0)
+                       for v, b in zip(vals, bats))
+            bt = next(v.shape[-1] for v, b in zip(vals, bats) if b)
+            ops = []
+            for v, b in zip(vals, bats):
+                o = self._aligned(v, b, rank)
+                if o.shape[-1] != bt:   # unit lane from an unbatched op
+                    o = jnp.broadcast_to(o, o.shape[:-1] + (bt,))
+                ops.append(o)
+            return [(jax.lax.concatenate(ops, dim), True)]
+
+        if prim == "slice":
+            (v,) = vals
+            bt = v.shape[-1]
+            start = tuple(params["start_indices"]) + (0,)
+            limit = tuple(params["limit_indices"]) + (bt,)
+            strides = params["strides"]
+            strides = (tuple(strides) + (1,)) if strides else None
+            return [(jax.lax.slice(v, start, limit, strides), True)]
+
+        if prim == "iota":
+            out = eqn.primitive.bind(**params)
+            return [(out, False)]
+
+        if prim == "dot_general":
+            return [(self._dot(vals, bats, params), True)]
+
         raise NotImplementedError(
-            f"dot_general outside the megakernel-adapter regime "
-            f"(free={n_out}, batch_dims={nb})")
-    # flatten free dims, unroll the (small) output entry grid
-    lpf = lp.reshape((-1,) + lp.shape[len(lf):]) if lf else lp[None]
-    rpf = rp.reshape((-1,) + rp.shape[len(rf):]) if rf else rp[None]
-    acc = preferred_element_type or lhs.dtype
-    ents = []
-    for i in range(lpf.shape[0]):
-        for j in range(rpf.shape[0]):
-            prod = (lpf[i] * rpf[j]).astype(acc)
-            for _ax in range(nc):
-                prod = jnp.sum(prod, axis=-1)
-            ents.append(prod)       # scalar per output entry
-    out = jnp.stack(ents) if len(ents) > 1 else ents[0][None]
-    return out.reshape(tuple(lf) + tuple(rf))
+            f"megakernel adapter: unsupported primitive '{prim}'")
+
+    def _dot(self, vals, bats, params):
+        (lc, rc), (lb, rb) = params["dimension_numbers"]
+        if lb or rb:
+            raise NotImplementedError("batched per-element dot_general")
+        lhs, rhs = vals
+        lhs_b, rhs_b = bats
+        import math
+
+        def prep(v, b, contract):
+            # -> (array (F..., C..., bt), n_free), free dims FIRST
+            # (leading-axis indexing lowers; middle-axis does not)
+            nd = v.ndim - (1 if b else 0)
+            free = [i for i in range(nd) if i not in contract]
+            perm = free + list(contract) + ([nd] if b else [])
+            v = jnp.transpose(v, perm)
+            if not b:
+                v = v[..., None]
+            return v, len(free)
+
+        lp, nlf = prep(lhs, lhs_b, lc)
+        rp, nrf = prep(rhs, rhs_b, rc)
+        lf = lp.shape[:nlf]
+        rf = rp.shape[:nrf]
+        n_out = math.prod(lf) * math.prod(rf)
+        if n_out > _MAX_UNROLL_FREE:
+            raise NotImplementedError(
+                f"dot_general free size {n_out} too large to unroll")
+        acc = params.get("preferred_element_type") or lhs.dtype
+
+        def entries(v, nf):
+            if nf == 0:
+                return [v]
+            out = [v]
+            for _ in range(nf):
+                out = [o[i] for o in out for i in range(o.shape[0])]
+            return out
+
+        lents = entries(lp, nlf)
+        rents = entries(rp, nrf)
+        nc = len(lc)
+        ents = []
+        for le in lents:
+            for re_ in rents:
+                prod = (le * re_).astype(acc)   # (C..., bt')
+                for _ in range(nc):
+                    prod = jnp.sum(prod, axis=0)
+                ents.append(prod)               # (bt,) or (1,)
+        bt = max(e.shape[-1] for e in ents)
+        ents = [jnp.broadcast_to(e, (bt,)) for e in ents]
+        out = (jnp.stack(ents, axis=0) if len(ents) > 1
+               else ents[0][None])
+        return out.reshape(tuple(lf) + tuple(rf) + (bt,))
 
 
 def _eval_rewritten(jaxpr, consts, *args):
-    """Evaluate a (first-order) jaxpr with dot_general expanded; inlines
-    pjit / custom_jvp / custom_vjp sub-jaxprs so dots inside jnp helpers
-    are rewritten too."""
-    from jax.extend.core import Literal
-
-    env = {}
-
-    def read(v):
-        return v.val if isinstance(v, Literal) else env[v]
-
-    def write(v, val):
-        env[v] = val
-
-    for v, c in zip(jaxpr.constvars, consts):
-        write(v, c)
-    for v, a in zip(jaxpr.invars, args):
-        write(v, a)
-    for eqn in jaxpr.eqns:
-        invals = [read(v) for v in eqn.invars]
-        prim = eqn.primitive.name
-        if prim == "dot_general":
-            outvals = [_dot_as_mulsum(*invals, **eqn.params)]
-        elif prim == "pjit":
-            sub = eqn.params["jaxpr"]
-            outvals = _eval_rewritten(sub.jaxpr, sub.consts, *invals)
-        elif prim == "custom_jvp_call":
-            sub = eqn.params["call_jaxpr"]
-            outvals = _eval_rewritten(sub.jaxpr, sub.consts, *invals)
-        elif prim in ("custom_vjp_call", "custom_vjp_call_jaxpr"):
-            sub = eqn.params.get("fun_jaxpr") or eqn.params.get(
-                "call_jaxpr")
-            outvals = _eval_rewritten(sub.jaxpr, sub.consts, *invals)
-        else:
-            outvals = eqn.primitive.bind(*invals, **eqn.params)
-            if not eqn.primitive.multiple_results:
-                outvals = [outvals]
-        for v, val in zip(eqn.outvars, outvals):
-            write(v, val)
-    return [read(v) for v in jaxpr.outvars]
+    """Per-element evaluation through the interpreter (no lane axis);
+    used by tests and bisect harnesses."""
+    mb = _MinorBatch()
+    outs = mb.run(jaxpr, [(c, False) for c in consts],
+                  [(a, False) for a in args])
+    return [v for v, _ in outs]
 
 
 def adapt_products_minor(products_fn, p0_elem, data_elem):
@@ -177,31 +357,23 @@ def adapt_products_minor(products_fn, p0_elem, data_elem):
         return pr.norm2_x, pr.Jt_x, jtj
 
     closed = jax.make_jaxpr(f)(p0_elem, *data_leaves)
-    consts = [jnp.asarray(c) for c in closed.consts]
-    nc = len(consts)
-
-    def f_explicit(p, *args):
-        dl, cs = args[:nd], args[nd:]
-        return tuple(_eval_rewritten(closed.jaxpr, list(cs), p, *dl))
-
-    # Double vmap: an OUTER minor-axis map over the lane tile, and an
-    # INNER map over a dummy size-1 leading axis. The inner map makes
-    # every per-element scalar a (1,) array, so after the outer map
-    # scalars are (1, bt) ROWS and vectors (1, m, bt) — the megakernel's
-    # known-good Mosaic shape discipline ((bt,) temporaries and
-    # replicated-layout scalars are measured lowering faults,
-    # ops/pallas_mega.py pitfall list).
-    inner = jax.vmap(f_explicit,
-                     in_axes=(0,) * (1 + nd) + (None,) * nc, out_axes=0)
-    outer = jax.vmap(inner,
-                     in_axes=(-1,) * (1 + nd) + (None,) * nc,
-                     out_axes=-1)
+    # Hoisted constants ride shared_data with a trailing unit LANE axis
+    # (Mosaic-proven input shapes: gx[:, None]-style columns, never bare
+    # 1-D). Inside the interpreter they are "batched with lane 1" — unit
+    # lanes broadcast against the true lane tile in every rule.
+    consts = [jnp.asarray(c)[..., None] for c in closed.consts]
 
     def products_minor(p_m, *args):
         dl, cs = args[:nd], args[nd:]
-        n2, jtx, jtj = outer(p_m[None], *(d[None] for d in dl), *cs)
-        # n2 (1, bt); jtx (1, n, bt); jtj (1, n, n, bt)
-        return n2, jtx[0], jtj[0]
+        mb = _MinorBatch()
+        outs = mb.run(closed.jaxpr,
+                      [(c, True) for c in cs],
+                      [(a, True) for a in (p_m,) + tuple(dl)])
+        (n2, n2_b), (jtx, _), (jtj, _) = outs
+        bt = p_m.shape[-1]
+        if not n2_b:
+            n2 = jnp.broadcast_to(n2[..., None], (bt,))
+        return n2.reshape(1, bt), jtx, jtj
 
     return products_minor, tuple(consts), nd
 
@@ -295,12 +467,22 @@ def plan_megakernel(products_fn,
                 shared_data=shared, block_batch=block, mesh=mesh,
                 axis_name=axis_name, interpret=interpret)
 
+        # AOT compile probe on abstract shapes: surfaces Mosaic
+        # lowering/compile failures HERE, where the caller can still
+        # fall back to the XLA path, instead of asynchronously at the
+        # first fetch (eager callers) or as a poisoned outer compile
+        # (jitted callers).
         jitted = jax.jit(solve)
-        # AOT compile: surfaces Mosaic lowering/compile failures HERE,
-        # where the caller can still fall back to the XLA path, instead
-        # of asynchronously at the first fetch.
-        compiled = jitted.lower(p0_in, *data_in).compile()
-        res = compiled(p0_in, *data_in)
+        specs = jax.tree_util.tree_map(
+            lambda a: jax.ShapeDtypeStruct(a.shape, a.dtype),
+            (p0_in,) + data_in)
+        compiled = jitted.lower(*specs).compile()
+        if jax.core.is_concrete(p0_in):
+            res = compiled(p0_in, *data_in)
+        else:
+            # caller jitted around this entry point: trace the solve
+            # INLINE (an AOT executable cannot take tracers)
+            res = solve(p0_in, *data_in)
         if padded_B != B:
             res = jax.tree_util.tree_map(lambda a: a[:B], res)
         return res

@@ -122,6 +122,23 @@ def test_forced_mesh_composition():
                                rtol=1e-10, atol=1e-12)
 
 
+def test_forced_under_outer_jit():
+    """A caller may jit around batched_optimize; the plan must trace the
+    kernel INLINE there (an AOT executable cannot take tracers) while
+    keeping the eager compile probe. Decisions identical either way."""
+    meas, p0s, products = _setup(jnp.float64, 128)
+    prm = DoglegParameters()
+    r_eager = batched_optimize(products, p0s, prm, problem_data=meas,
+                               use_megakernel=True)
+    r_jit = jax.jit(lambda q, m: batched_optimize(
+        products, q, prm, problem_data=m, use_megakernel=True))(
+            p0s, meas)
+    _assert_decisions_equal(r_jit, r_eager)
+    np.testing.assert_allclose(np.asarray(r_jit.p),
+                               np.asarray(r_eager.p),
+                               rtol=1e-12, atol=1e-14)
+
+
 def test_f32_near_total_agreement():
     meas, p0s, products = _setup(jnp.float32, 256)
     prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
