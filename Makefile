@@ -4,7 +4,7 @@
 
 TAG ?=
 
-.PHONY: check test evidence
+.PHONY: check test evidence evidence-full
 
 check:
 	./check.sh
@@ -12,7 +12,12 @@ check:
 test:
 	python -m pytest tests/ -x -q
 
-# regenerate every BENCH_* artifact + the EVIDENCE manifest; pass
-# TAG=r04 to pin the round tag
+# regenerate the quick-tier BENCH_* artifacts (<=10 min: headline +
+# kernels-lite + multichip dryrun) + the EVIDENCE manifest; pass
+# TAG=r05 to pin the round tag. `make evidence-full` runs the ~2.5 h
+# full matrix.
 evidence:
 	python evidence.py $(if $(TAG),--tag $(TAG))
+
+evidence-full:
+	python evidence.py --full $(if $(TAG),--tag $(TAG))

@@ -35,7 +35,8 @@ ARTIFACTS = {
                                  True, 5400),
     "BENCH_ALL_{tag}.json":     ([sys.executable, "bench_all.py"],
                                  True, 7200),
-    "ROOFLINE_{tag}.json":      ([sys.executable, "exp_roofline.py"],
+    "ROOFLINE_{tag}.json":      ([sys.executable,
+                                  "artifacts/exp_roofline.py"],
                                  True, 3600),
     "BENCH_SCALING_{tag}.json": ([sys.executable, "bench_scaling.py"],
                                  False, 3600),
@@ -44,6 +45,25 @@ ARTIFACTS = {
     # CPU either way)
     "BENCH_CPU_REF.json":       ([sys.executable, "bench_cpu_ref.py",
                                   "--cpu"], False, 7200),
+}
+
+# The <=10-minute default tier (VERDICT r4 ask 7: the full matrix needs
+# ~2.5 h and a flaky tunnel can orphan a round's artifacts; the quick
+# tier lands the headline + the gated kernel rows + the multichip dryrun
+# first, and --full adds the rest).
+QUICK_ARTIFACTS = {
+    "BENCH_{tag}.json":         ([sys.executable, "bench.py"], True, 900),
+    "BENCH_KERNELS_LITE_{tag}.json": (
+        [sys.executable, "bench_kernels.py", "--lite"], True, 900),
+    "MULTICHIP_LOCAL_{tag}.json": (
+        [sys.executable, "-c",
+         "import json, os; "
+         "os.environ['JAX_PLATFORMS']='cpu'; "
+         "os.environ['XLA_FLAGS']="
+         "'--xla_force_host_platform_device_count=8'; "
+         "import __graft_entry__ as g; g.dryrun_multichip(8); "
+         "print(json.dumps({'ok': True, 'devices': 8}))"],
+        False, 900),
 }
 
 
@@ -82,6 +102,10 @@ def main():
                     help="comma-separated artifact-name substrings to run")
     ap.add_argument("--skip-tpu", action="store_true",
                     help="treat the chip as unavailable without probing")
+    ap.add_argument("--full", action="store_true",
+                    help="run the full ~2.5 h artifact matrix; default "
+                         "is the <=10 min quick tier (headline + "
+                         "kernels-lite + multichip dryrun)")
     args = ap.parse_args()
 
     tag = args.tag
@@ -89,6 +113,15 @@ def main():
         rounds = [int(p.stem.split("_r")[-1])
                   for p in REPO.glob("BENCH_r[0-9]*.json")]
         tag = f"r{(max(rounds) + 1 if rounds else 1):02d}"
+
+    # Warm the one-time on-demand g++ build of the native symbolic
+    # library so no artifact's timed region pays it (round 4's
+    # analyze_ms=3937 was this once-per-checkout toolchain step).
+    subprocess.run(
+        [sys.executable, "-c",
+         "from libdogleg_tpu.native.loader import native_available; "
+         "native_available()"],
+        cwd=REPO, capture_output=True, timeout=300)
 
     if args.skip_tpu:
         tpu_ok, device = False, "skipped by flag"
@@ -106,7 +139,9 @@ def main():
     }
     print(json.dumps({"evidence": tag, "tpu": tpu_ok, "device": device}))
 
-    for name_tpl, (cmd, needs_tpu, timeout_s) in ARTIFACTS.items():
+    artifacts = ARTIFACTS if args.full else QUICK_ARTIFACTS
+    manifest["tier"] = "full" if args.full else "quick"
+    for name_tpl, (cmd, needs_tpu, timeout_s) in artifacts.items():
         name = name_tpl.format(tag=tag)
         if "bench_cpu_ref.py" in " ".join(cmd) and tpu_ok:
             cmd = [c for c in cmd if c != "--cpu"]

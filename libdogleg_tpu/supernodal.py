@@ -59,7 +59,8 @@ class AmalgamatedSymbolic:
 
 
 def analyze(rows: np.ndarray, cols: np.ndarray, nb: int, b: int = 1,
-            ordering="rcm", amalgamate: int = 4) -> AmalgamatedSymbolic:
+            ordering="rcm", amalgamate: int = 4,
+            inner_ordering="auto") -> AmalgamatedSymbolic:
     """Symbolic analysis with supernodal amalgamation.
 
     Args: as sparse_cholesky.analyze, plus amalgamate = S, the number of
@@ -67,6 +68,17 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int, b: int = 1,
     default ordering is "rcm": amalgamation needs consecutive elimination
     columns to be graph-adjacent; minimum degree scatters them (measured
     7x slower than RCM when grouped).
+
+    inner_ordering orders the SUPER pattern's elimination. RCM leaves the
+    supers a (near-)chain — O(nb/S) sequential elimination levels, and on
+    a TPU the factorization cost is the level COUNT, not the flops (the
+    diag-coupled grid regime ran 511 levels of <=3 block ops each and
+    lost 2x to one CPU core, BENCH_CPU_REF_GRID_r04.json). "nd" re-orders
+    the supers by nested dissection, collapsing a chain to a log-depth
+    elimination tree at modest extra fill. "auto" (default) analyzes both
+    and keeps the schedule with fewer total sequential levels (ties to
+    "natural"); the super pattern is small, so the double analysis is
+    cheap next to the b-level work. Exactness is ordering-invariant.
     """
     S = int(amalgamate)
     assert S >= 1
@@ -103,8 +115,21 @@ def analyze(rows: np.ndarray, cols: np.ndarray, nb: int, b: int = 1,
                               np.int64, count=keys.shape[0])
     n_super_input = uniq_keys.shape[0]
 
-    # inner symbolic on the super pattern; ordering already applied
-    inner = sc.analyze(sup_rows, sup_cols, nb_s, sb, ordering="natural")
+    # inner symbolic on the super pattern (the b-level fill-reducing
+    # ordering is already applied; inner_ordering only re-orders supers)
+    def total_levels(s):
+        return (s.sched.nlevels + len(s.fwd.pair_off) - 1
+                + len(s.bwd.pair_off) - 1)
+
+    if inner_ordering == "auto":
+        candidates = ("natural", "nd")
+    else:
+        candidates = (inner_ordering,)
+    inner = None
+    for o in candidates:
+        cand = sc.analyze(sup_rows, sup_cols, nb_s, sb, ordering=o)
+        if inner is None or total_levels(cand) < total_levels(inner):
+            inner = cand
 
     # elementwise scatter: source element (r, c) of input block e lands at
     # super element (oi*b + (c if flip else r), oj*b + (r if flip else c))

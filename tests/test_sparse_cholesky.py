@@ -45,7 +45,7 @@ def _random_spd_pattern(seed, nb, b, extra_offdiag):
 
 @pytest.mark.parametrize("nb,b,extra", [(8, 1, 10), (8, 3, 10), (12, 2, 20),
                                         (5, 4, 6)])
-@pytest.mark.parametrize("ordering", ["natural", "mindeg"])
+@pytest.mark.parametrize("ordering", ["natural", "mindeg", "nd"])
 def test_factorization_matches_dense(nb, b, extra, ordering):
     dense, blocks, rows, cols = _random_spd_pattern(0, nb, b, extra)
     sym = sc.analyze(rows, cols, nb, b, ordering)
@@ -65,7 +65,7 @@ def test_factorization_matches_dense(nb, b, extra, ordering):
 
 
 @pytest.mark.parametrize("nb,b,extra", [(8, 1, 10), (10, 3, 18)])
-@pytest.mark.parametrize("ordering", ["natural", "mindeg"])
+@pytest.mark.parametrize("ordering", ["natural", "mindeg", "nd"])
 def test_solve_matches_dense(nb, b, extra, ordering):
     dense, blocks, rows, cols = _random_spd_pattern(1, nb, b, extra)
     sym = sc.analyze(rows, cols, nb, b, ordering)
@@ -456,3 +456,89 @@ def test_grid_mrf_dense_coupling():
     assert int(r_s.step_count) == int(r_d.step_count) == 1
     np.testing.assert_allclose(np.asarray(r_s.p), np.asarray(r_d.p),
                                rtol=1e-8, atol=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# Nested-dissection inner ordering (round 5: the diag-coupled grid regime)
+# ---------------------------------------------------------------------------
+
+
+def _grid_pattern(W):
+    idx = lambda i, j: i * W + j
+    rows, cols = [], []
+    for i in range(W):
+        for j in range(W):
+            v = idx(i, j)
+            rows.append(v); cols.append(v)
+            if j + 1 < W:
+                rows.append(idx(i, j + 1)); cols.append(v)
+            if i + 1 < W:
+                rows.append(idx(i + 1, j)); cols.append(v)
+    return np.asarray(rows), np.asarray(cols)
+
+
+def test_nd_collapses_chain_levels():
+    """A 64-node chain eliminates in 63 sequential levels naturally; the
+    nested-dissection ordering collapses it to O(log n) — the level
+    COUNT is the factorization's cost on TPU (one batched dispatch per
+    level), which is why the diag-coupled grid lost to one CPU core
+    (BENCH_CPU_REF_GRID_r04.json rows this round targets)."""
+    n = 64
+    rows = np.concatenate([np.arange(n), np.arange(1, n)])
+    cols = np.concatenate([np.arange(n), np.arange(0, n - 1)])
+    nat = sc.analyze(rows, cols, n, 1, ordering="natural")
+    nd = sc.analyze(rows, cols, n, 1, ordering="nd")
+    assert nd.sched.nlevels <= 3 * int(np.ceil(np.log2(n))) + 3
+    assert nd.sched.nlevels < nat.sched.nlevels / 4
+    # exactness on a random SPD chain matrix
+    rng = np.random.default_rng(0)
+    nin = rows.shape[0]
+    off = rng.normal(size=n - 1) * 0.4
+    diag = 2.0 + np.abs(rng.normal(size=n))
+    dense = np.diag(diag)
+    dense[np.arange(1, n), np.arange(n - 1)] = off
+    dense[np.arange(n - 1), np.arange(1, n)] = off
+    blocks = np.concatenate([diag, off]).reshape(nin, 1, 1)
+    L, ok = sc.factorize(nd, jnp.asarray(blocks), jnp.asarray(0.0))
+    assert bool(ok)
+    rhs = jnp.asarray(rng.normal(size=n))
+    x = sc.solve(nd, L, rhs)
+    np.testing.assert_allclose(dense @ np.asarray(x), np.asarray(rhs),
+                               rtol=1e-9, atol=1e-10)
+
+
+def test_supernodal_inner_auto_picks_nd_on_grid():
+    """supernodal.analyze(inner_ordering='auto') must pick the ordering
+    with fewer sequential levels on the grid pattern, and stay exact."""
+    from libdogleg_tpu import supernodal as sn
+    W, b, S = 16, 2, 8
+    rows, cols = _grid_pattern(W)
+    nb = W * W
+    nat = sn.analyze(rows, cols, nb, b, ordering="rcm", amalgamate=S,
+                     inner_ordering="natural")
+    auto = sn.analyze(rows, cols, nb, b, ordering="rcm", amalgamate=S,
+                      inner_ordering="auto")
+    assert auto.inner.sched.nlevels < nat.inner.sched.nlevels
+    # exactness: factorize + solve against a dense assembly
+    rng = np.random.default_rng(1)
+    nin = rows.shape[0]
+    blocks = rng.normal(size=(nin, b, b)) * 0.2
+    n = nb * b
+    dense = np.zeros((n, n))
+    for k in range(nin):
+        i, j = int(rows[k]), int(cols[k])
+        B = blocks[k]
+        dense[i * b:(i + 1) * b, j * b:(j + 1) * b] += B
+        dense[j * b:(j + 1) * b, i * b:(i + 1) * b] += B.T
+    dense += np.eye(n) * (np.abs(dense).sum(1).max() + 1.0)
+    inb = np.empty((nin, b, b))
+    for k in range(nin):
+        i, j = int(rows[k]), int(cols[k])
+        inb[k] = dense[i * b:(i + 1) * b, j * b:(j + 1) * b]
+    for sym in (nat, auto):
+        L, ok = sn.factorize(sym, jnp.asarray(inb), jnp.asarray(0.0))
+        assert bool(ok)
+        rhs = jnp.asarray(rng.normal(size=n))
+        x = sn.solve(sym, L, rhs)
+        np.testing.assert_allclose(dense @ np.asarray(x),
+                                   np.asarray(rhs), rtol=1e-9, atol=1e-9)
