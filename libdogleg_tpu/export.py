@@ -55,7 +55,8 @@ def export_solver(products_fn,
                   batch_size: Optional[int] = None,
                   dtype=jnp.float32,
                   newton_solver=None,
-                  platforms=None):
+                  platforms=None,
+                  outputs: str = "full"):
     """Trace, lower, and export the dog-leg solve for serving.
 
     Args:
@@ -71,14 +72,19 @@ def export_solver(products_fn,
         mid-size batches), frozen into the artifact.
       platforms: optional list for cross-platform lowering (e.g.
         ["tpu"]); default = the current backend.
+      outputs: "full" (default) returns the whole SolveResult pytree;
+        "p" returns only the solution vector — the latency-serving
+        configuration (the result fetch is ~1/3 of the single-solve CPU
+        round trip; see bench_cpu_ref.py single_solve_exported_cpu).
 
     Returns a `jax.export.Exported`; serialize with `save_exported`.
     """
     prm = parameters if parameters is not None else DoglegParameters()
 
     def solve_one(p0):
-        return solve_products(products_fn, p0, prm,
-                              newton_solver=newton_solver)
+        r = solve_products(products_fn, p0, prm,
+                           newton_solver=newton_solver)
+        return r.p if outputs == "p" else r
 
     fn = jax.vmap(solve_one) if batch_size else solve_one
     shape = (batch_size, nstate) if batch_size else (nstate,)

@@ -222,6 +222,67 @@ def test_megakernel_sharded():
     assert r.p.sharding.spec == P("dp")
 
 
+def test_megakernel_meas_sharded_staged():
+    """megakernel x MEAS axis (dp x meas mesh): the measurement axis
+    cannot be sharded inside the Mosaic kernel (a mid-kernel psum would
+    need inter-device collectives), so the supported composition is
+    staged — a meas-sharded XLA stage reduces each instance's rows to
+    sufficient statistics (psum over 'meas'; exact because h = B^T m
+    and m.m are sums over rows, the distributed form of the reference's
+    user-side reduction, dogleg.h:32-45), feeding the dp-sharded
+    factored megakernel. Decisions must match the unsharded factored
+    XLA path wherever the stats agree to pair precision."""
+    from jax.sharding import PartitionSpec as P
+
+    from libdogleg_tpu.models.quadratic_surface import basis
+    from libdogleg_tpu.parallel import make_mesh
+    from libdogleg_tpu.problems import FactoredBasisProblem
+
+    dtype = jnp.float32
+    batch = 64
+    gx, gy = sp.make_grid(dtype)
+    meas = jax.vmap(lambda k: sp.simulate(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(0), batch))
+    p0s = jax.vmap(lambda k: sp.initial_state(k, dtype=dtype))(
+        jax.random.split(jax.random.PRNGKey(1), batch))
+    prm = DoglegParameters(max_iterations=10, Jt_x_threshold=1e-3,
+                           update_threshold=1e-5,
+                           trustregion_threshold=1e-5)
+    G_pair = sp.gram_pair(dtype)
+
+    mesh2 = make_mesh(("dp", "meas"), shape=(2, 4))
+
+    def stats_shard(meas_blk, B_blk):
+        hh, hl, nh, nl = jax.vmap(
+            lambda m: FactoredBasisProblem.statistics(B_blk, m))(meas_blk)
+        return tuple(jax.lax.psum(t, "meas") for t in (hh, hl, nh, nl))
+
+    hh, hl, nh, nl = jax.jit(jax.shard_map(
+        stats_shard, mesh=mesh2,
+        in_specs=(P("dp", "meas"), P("meas", None)),
+        out_specs=(P("dp"),) * 4))(meas, basis(gx, gy))
+
+    # the psum of (hi, lo) pairs preserves the pair SUM (not the
+    # non-overlap invariant) — collapsed values must match the
+    # unsharded statistics
+    rh, rl, rn, rm = jax.vmap(sp.factored_statistics)(meas)
+    np.testing.assert_allclose(np.asarray(hh) + np.asarray(hl),
+                               np.asarray(rh) + np.asarray(rl),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(nh) + np.asarray(nl),
+                               np.asarray(rn) + np.asarray(rm),
+                               rtol=1e-5, atol=1e-5)
+
+    dmesh = make_mesh(("dp",), shape=(8,))
+    r = megakernel_optimize(
+        sp.factored_products_minor, p0s, prm,
+        problem_data=(hh, hl, nh[:, None], nl[:, None]),
+        shared_data=G_pair, block_batch=8, mesh=dmesh, interpret=True)
+    err = np.abs(np.asarray(r.p) - sp.P_TRUE[None])
+    assert float(np.mean(np.all(err < 0.2, axis=1))) >= 0.98
+    assert np.all(np.asarray(r.reason) > 0)
+
+
 def test_megakernel_n3_curve_fit():
     """Generality in n: the exponential curve-fit model (n=3, the
     config-2 workload) through the same kernel, with the in-kernel
