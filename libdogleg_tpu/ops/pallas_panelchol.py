@@ -79,7 +79,12 @@ def _leaf_tri_inv(L):
 
 
 def _dot(a, b):
-    return jnp.dot(a, b, preferred_element_type=a.dtype)
+    # precision=HIGHEST: without it Mosaic lowers f32 dots to bf16
+    # multiplies (measured: 5e-3 max rel err on the n=2048 factor vs
+    # 5e-6 with true-f32 passes; the factor feeds GN solves whose
+    # thresholds sit at 1e-3..1e-5)
+    return jnp.dot(a, b, preferred_element_type=a.dtype,
+                   precision=jax.lax.Precision.HIGHEST)
 
 
 def _make_kernel(p: int):
@@ -126,7 +131,7 @@ def _make_kernel(p: int):
 
         l_ref[0] = L
         linv_ref[0] = tri_inv(0, p)
-        ok_ref[:] = ok
+        ok_ref[0] = ok
 
     return kernel
 
@@ -154,12 +159,16 @@ def panel_factor(W, *, interpret: bool = False):
         grid=(B,),
         in_specs=[blk((p, p))],
         out_specs=(blk((p, p)), blk((p, p)),
-                   pl.BlockSpec((1, 1), lambda i: (i, 0),
+                   # last two dims must equal the overall array's (the
+                   # (1,1)-of-(B,1) form violates Mosaic's 8/128 block
+                   # divisibility when B > 1)
+                   pl.BlockSpec((1, 1, 1), lambda i: (i, 0, 0),
                                 memory_space=pltpu.VMEM)),
         out_shape=(jax.ShapeDtypeStruct((B, p, p), W.dtype),
                    jax.ShapeDtypeStruct((B, p, p), W.dtype),
-                   jax.ShapeDtypeStruct((B, 1), W.dtype)),
+                   jax.ShapeDtypeStruct((B, 1, 1), W.dtype)),
         interpret=interpret,
     )(Wf)
-    okb = (ok[:, 0] > 0.5).reshape(batch) if batch else (ok[0, 0] > 0.5)
+    okb = (ok[:, 0, 0] > 0.5).reshape(batch) if batch \
+        else (ok[0, 0, 0] > 0.5)
     return L.reshape(W.shape), Linv.reshape(W.shape), okb
